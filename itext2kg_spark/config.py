@@ -1,0 +1,74 @@
+"""Pipeline configuration.
+
+Defaults mirror the reference:
+  - ATOM `Atom.build_graph` defaults: ent_threshold=0.8, rel_threshold=0.7,
+    entity_name_weight=0.8, entity_label_weight=0.2
+    (reference: itext2kg/atom/atom.py:155-163).
+  - Legacy/star `iText2KG.build_graph`: 0.7/0.7 thresholds, 0.6/0.4 weights
+    (reference: itext2kg/itext2kg_star/itext2kg.py:36-44).
+  - ATOM similarity gate is inclusive (score >= threshold,
+    atom/graph_matching/matcher.py:80); the star matcher is strict (score >
+    threshold, itext2kg_star/graph_matching/matcher.py:41) — `inclusive`
+    selects between them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Entity / relation resolution parameters."""
+
+    ent_threshold: float = 0.8
+    rel_threshold: float = 0.7
+    inclusive: bool = True  # ATOM: sim >= thr; star mode: sim > thr
+    # Candidate generation: "broadcast" = exact all-pairs (small side broadcast),
+    # "lsh" = banded random-hyperplane bucketing, "auto" switches on count.
+    candidate_method: str = "auto"
+    # Above this many distinct items per side, "auto" switches to LSH.
+    broadcast_limit: int = 100_000
+    # LSH shape: `lsh_rows` sign-bits per band, `lsh_bands` bands. Recall for
+    # cosine θ: 1 - (1 - p^rows)^bands with p = 1 - arccos(θ)/π.
+    # (6, 24) gives ≥0.997 recall at θ=0.7 and ≥0.9996 at θ=0.8.
+    lsh_rows: int = 6
+    lsh_bands: int = 24
+    lsh_seed: int = 1729
+    # Connected-components iteration cap (each iteration does neighbor-min +
+    # pointer-jumping, so convergence is O(log diameter)).
+    cc_max_iter: int = 25
+
+
+@dataclass(frozen=True)
+class EmbedConfig:
+    """Deterministic hash-embedding parameters (test/bench embedder).
+
+    Production swaps `itext2kg_spark.extract.embed.Embedder` for an API-backed
+    one; everything downstream only sees `array<float>` columns.
+    """
+
+    dim: int = 64
+    seed: int = 42
+    # Weighted entity embedding: emb = name_weight*emb(name) + label_weight*emb(label)
+    # (reference: atom/models/knowledge_graph.py:29-43, weights atom/atom.py:161-162)
+    name_weight: float = 0.8
+    label_weight: float = 0.2
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    match: MatchConfig = field(default_factory=MatchConfig)
+    embed: EmbedConfig = field(default_factory=EmbedConfig)
+    # "atom" (quintuples with t_start/t_end) or "star" (t_obs only)
+    mode: str = "atom"
+    # shuffle partitioning for the merge stages; None = leave session default
+    shuffle_partitions: int | None = None
+
+
+ATOM = PipelineConfig()
+STAR = PipelineConfig(
+    match=MatchConfig(ent_threshold=0.7, rel_threshold=0.7, inclusive=False),
+    embed=EmbedConfig(name_weight=0.6, label_weight=0.4),
+    mode="star",
+)

@@ -1,0 +1,70 @@
+"""Connected components over the similarity graph — iterative DataFrame joins.
+
+This is the global replacement for the reference's order-dependent pairwise
+merge tree (`Atom.parallel_atomic_merge`, itext2kg/atom/atom.py:55-84): CC is
+the transitive closure of its iterated pairwise matching, and unlike the
+ThreadPoolExecutor reduction it is deterministic and shuffle-parallel.
+
+Algorithm: min-label propagation with pointer jumping. Each iteration
+  (1) takes the min component label over graph neighbors, then
+  (2) jumps: comp <- comp[comp]  (path halving),
+so convergence is O(log diameter) iterations, each a shuffle bounded by
+|V|+|E|. `localCheckpoint` truncates lineage every iteration (without it the
+plan doubles per iteration and the driver OOMs planning at scale). Convergence
+is detected by the monotone decrease of sum(comp) as decimal — no extra join.
+
+At θ≥0.7 similarity graphs are mostly tiny cliques; typical convergence here
+is 2-3 iterations. (GraphFrames' large-star/small-star would be the drop-in
+for adversarially long chains; not required, and not bundled in this sandbox.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """vertices(id) + edges(id_a, id_b) -> (id, comp); comp = min id in component."""
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    und = und.localCheckpoint(eager=False)
+
+    lab = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    lab = lab.localCheckpoint()
+    prev_sum = lab.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    for _ in range(max_iter):
+        nbr = und.join(lab, und.src == lab.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        lab2 = (
+            lab.select("id", "comp")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- comp[comp] (explicit renames — aliased
+        # self-joins over unions trip Catalyst constraint rewriting)
+        parent = lab2.select(
+            F.col("id").alias("p_id"), F.col("comp").alias("p_comp")
+        )
+        lab3 = lab2.join(parent, lab2["comp"] == parent["p_id"], "left").select(
+            F.col("id"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        lab3 = lab3.localCheckpoint()
+        new_sum = lab3.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        lab = lab3
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return lab

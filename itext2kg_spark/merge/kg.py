@@ -1,0 +1,200 @@
+"""Canonical-KG construction: quintuples -> (entities, edges) tables, with
+incremental merge against an existing canonical store.
+
+Reproduces the ATOM merge semantics (SURVEY.md §2.7) as one global dataflow:
+
+  1. normalize names/labels/predicates (Entity.process / Relationship.process
+     parity — itext2kg/atom/models/entity.py:30-38, relationship.py:34-36);
+  2. weighted entity embeddings over distinct (name,label)
+     (knowledge_graph.py:29-43, weights atom/atom.py:161-162);
+  3. entity resolution: exact (name,label) equality + cosine >= θ_E clusters
+     via similarity join + connected components (replaces matcher.py:41-94);
+  4. predicate resolution at θ_R over distinct predicate names — endpoints
+     ignored, exactly like _batch_match_relationships (matcher.py:105-153);
+  5. endpoint/predicate remap = three hash joins against the mapping tables
+     (replaces matcher.py:204-226);
+  6. temporal resolution: groupBy canonical (src,pred,dst) aggregating
+     t_obs/t_start/t_end/atomic_facts lists (replaces matcher.py:155-170 +
+     relationship.py:38-76 list-extends). Lists keep duplicates (reference
+     extends, never dedups) and are array_sort'ed for deterministic output —
+     compare as multisets against the reference (SURVEY.md A4 note).
+
+Incremental path: existing entities join the resolution with is_existing=1;
+store-internal pairs are never candidates, so existing rows always map to
+themselves and a cluster's representative is the store row whenever one is
+present — matching `existing_knowledge_graph` behavior (atom/atom.py:196-208).
+Existing edges then union with the batch's mention rows before the groupBy, so
+re-observed edges extend their lists exactly like combine_timestamps.
+
+Scale shape: every join here is key-equi (broadcastable mapping tables —
+distinct names, not mentions); the single wide shuffle is the final groupBy on
+the canonical triple, which Spark executes with partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from itext2kg_spark.config import PipelineConfig
+from itext2kg_spark.extract.embed import with_embedding
+from itext2kg_spark.functions.normalize import norm_label, norm_name, norm_predicate
+from itext2kg_spark.functions.timeparse import parse_timestamp_array
+from itext2kg_spark.functions.vectors import unit
+from itext2kg_spark.merge.resolve import resolve_items
+
+EDGE_GROUP_KEYS = ["src_name", "src_label", "pred", "dst_name", "dst_label"]
+
+EDGE_LIST_COLS = ["t_obs", "t_start", "t_end", "atomic_facts"]
+
+
+def _normalize_quintuples(q: DataFrame) -> DataFrame:
+    return (
+        q.withColumn("subj_name", norm_name(F.col("subj_name")))
+        .withColumn("subj_label", norm_label(F.col("subj_label")))
+        .withColumn("obj_name", norm_name(F.col("obj_name")))
+        .withColumn("obj_label", norm_label(F.col("obj_label")))
+        .withColumn("pred", norm_predicate(F.col("pred")))
+    )
+
+
+def _entity_mentions(q: DataFrame) -> DataFrame:
+    subj = q.select(
+        F.col("subj_name").alias("name"), F.col("subj_label").alias("label")
+    )
+    obj = q.select(
+        F.col("obj_name").alias("name"), F.col("obj_label").alias("label")
+    )
+    return subj.union(obj).distinct()
+
+
+def embed_entities(
+    distinct_entities: DataFrame, embedder, name_weight: float, label_weight: float
+) -> DataFrame:
+    """(name, label) -> + embedding (weighted sum, raw like the reference) +
+    emb (unit-normalized, for matching)."""
+    d = with_embedding(distinct_entities, "name", "__emb_n", embedder)
+    d = with_embedding(d, "label", "__emb_l", embedder)
+    combined = F.zip_with(
+        "__emb_n",
+        "__emb_l",
+        lambda a, b: a * F.lit(float(name_weight)) + b * F.lit(float(label_weight)),
+    )
+    return (
+        d.withColumn("embedding", combined)
+        .withColumn("emb", unit(F.col("embedding")))
+        .drop("__emb_n", "__emb_l")
+    )
+
+
+def canonicalize_kg(
+    quintuples: DataFrame,
+    cfg: PipelineConfig,
+    embedder,
+    existing_entities: DataFrame | None = None,
+    existing_edges: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """quintuples(url, obs_ts, fact, subj_*, pred, obj_*, t_start, t_end)
+    -> (entities, edges) canonical DataFrames.
+
+    entities: name, label, embedding array<float>
+    edges:    src_name, src_label, pred, dst_name, dst_label,
+              t_obs/t_start/t_end array<double>, atomic_facts array<string>
+    """
+    q = _normalize_quintuples(quintuples)
+
+    # ---- entity resolution -------------------------------------------------
+    ents = _entity_mentions(q).withColumn("is_existing", F.lit(False))
+    if existing_entities is not None:
+        ex = existing_entities.select("name", "label").withColumn(
+            "is_existing", F.lit(True)
+        )
+        # batch rows that exactly equal a store row are dropped in favor of
+        # the store row (exact-match pre-pass, matcher.py:41-63)
+        ents = ex.unionByName(
+            ents.join(ex.select("name", "label"), ["name", "label"], "left_anti")
+        )
+    ents = embed_entities(
+        ents, embedder, cfg.embed.name_weight, cfg.embed.label_weight
+    )
+    resolved_e = resolve_items(
+        ents,
+        cfg.match,
+        cfg.match.ent_threshold,
+        key_cols=["name", "label"],
+        emb_col="emb",
+    )
+    ent_map = resolved_e.select(
+        "name", "label", "canon_name", "canon_label"
+    )
+    entities = (
+        resolved_e.where("is_rep")
+        .select(
+            F.col("canon_name").alias("name"),
+            F.col("canon_label").alias("label"),
+            "embedding",
+        )
+    )
+
+    # ---- predicate resolution (names only, matcher.py:105-153) -------------
+    preds = q.select("pred").distinct().withColumn("is_existing", F.lit(False))
+    if existing_edges is not None:
+        exp = existing_edges.select(F.col("pred")).distinct().withColumn(
+            "is_existing", F.lit(True)
+        )
+        preds = exp.unionByName(
+            preds.join(exp.select("pred"), ["pred"], "left_anti")
+        )
+    preds = with_embedding(preds, "pred", "embedding", embedder).withColumn(
+        "emb", unit(F.col("embedding"))
+    )
+    resolved_p = resolve_items(
+        preds,
+        cfg.match,
+        cfg.match.rel_threshold,
+        key_cols=["pred"],
+        emb_col="emb",
+    )
+    pred_map = resolved_p.select("pred", "canon_pred")
+
+    # ---- remap + temporal aggregation ---------------------------------------
+    sm = ent_map.select(
+        F.col("name").alias("subj_name"),
+        F.col("label").alias("subj_label"),
+        F.col("canon_name").alias("src_name"),
+        F.col("canon_label").alias("src_label"),
+    )
+    om = ent_map.select(
+        F.col("name").alias("obj_name"),
+        F.col("label").alias("obj_label"),
+        F.col("canon_name").alias("dst_name"),
+        F.col("canon_label").alias("dst_label"),
+    )
+    mentions = (
+        q.join(F.broadcast(sm), ["subj_name", "subj_label"])
+        .join(F.broadcast(om), ["obj_name", "obj_label"])
+        .join(F.broadcast(pred_map), ["pred"])
+        .select(
+            "src_name",
+            "src_label",
+            F.col("canon_pred").alias("pred"),
+            "dst_name",
+            "dst_label",
+            F.array(F.col("obs_ts").cast("double")).alias("t_obs"),
+            parse_timestamp_array(F.col("t_start")).alias("t_start"),
+            parse_timestamp_array(F.col("t_end")).alias("t_end"),
+            F.array(F.col("fact")).alias("atomic_facts"),
+        )
+    )
+    if existing_edges is not None:
+        mentions = mentions.unionByName(
+            existing_edges.select(*EDGE_GROUP_KEYS, *EDGE_LIST_COLS)
+        )
+
+    edges = mentions.groupBy(*EDGE_GROUP_KEYS).agg(
+        *[
+            F.array_sort(F.flatten(F.collect_list(c))).alias(c)
+            for c in EDGE_LIST_COLS
+        ]
+    )
+    return entities, edges

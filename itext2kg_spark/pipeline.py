@@ -1,0 +1,88 @@
+"""End-to-end pipeline: pages -> facts -> quintuples -> canonical KG.
+
+Spark re-expression of `Atom.build_graph` / `build_graph_from_different_obs_times`
+(itext2kg/atom/atom.py:155-234): where the reference fans out per observation
+date and pairwise-merges per-snapshot KGs on driver threads, this pipeline
+processes *all* observation timestamps of a batch in one dataflow — the t_obs
+stamp is carried per-mention from warc_ts, and one global resolution replaces
+the whole merge tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from itext2kg_spark.config import PipelineConfig, ATOM
+from itext2kg_spark.extract.distill import distill_pages
+from itext2kg_spark.extract.embed import HashEmbedder
+from itext2kg_spark.extract.facts import split_atomic_facts
+from itext2kg_spark.extract.quintuples import GrammarExtractor, extract_quintuples
+from itext2kg_spark.merge.kg import canonicalize_kg
+from itext2kg_spark.sources.store import KGStore
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        cfg: PipelineConfig = ATOM,
+        embedder=None,
+        extractor=None,
+    ):
+        self.cfg = cfg
+        self.embedder = embedder or HashEmbedder(cfg.embed.dim, cfg.embed.seed)
+        self.extractor = extractor or GrammarExtractor()
+
+    # -- stage views ----------------------------------------------------------
+    def quintuples_from_pages(self, pages: DataFrame) -> DataFrame:
+        distilled = distill_pages(pages)
+        facts = split_atomic_facts(distilled)
+        return extract_quintuples(facts, self.extractor)
+
+    # -- one batch ------------------------------------------------------------
+    def build_graph(
+        self,
+        pages: DataFrame,
+        existing_entities: DataFrame | None = None,
+        existing_edges: DataFrame | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        q = self.quintuples_from_pages(pages)
+        return canonicalize_kg(
+            q,
+            self.cfg,
+            self.embedder,
+            existing_entities=existing_entities,
+            existing_edges=existing_edges,
+        )
+
+    # -- incremental batches with checkpoint/resume ----------------------------
+    def run_batch(self, pages: DataFrame, store: KGStore) -> int:
+        """Merge one page batch into the store; returns the committed batch id.
+
+        Equivalent of one `build_graph(existing_knowledge_graph=...)` call +
+        checkpoint (atom/atom.py:196-208 + testing_atom.py batch loop). On a
+        cluster this is an Iceberg MERGE INTO + snapshot commit.
+        """
+        spark = pages.sparkSession
+        existing = store.load(spark)
+        ents_prev, edges_prev = existing if existing else (None, None)
+        entities, edges = self.build_graph(pages, ents_prev, edges_prev)
+
+        batch_id = store.next_batch_id()
+        n_pages = pages.count()
+        store.write_snapshot(
+            batch_id,
+            entities,
+            edges,
+            metrics={"n_pages": n_pages},
+        )
+        return batch_id
+
+
+def partition_lineage(df: DataFrame, key: str = "url") -> DataFrame:
+    """Per-partition lineage/metrics rows (north rule): partition id, row
+    count, distinct keys — written alongside each snapshot by callers."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("rows"),
+        F.approx_count_distinct(key).alias(f"approx_distinct_{key}"),
+    )
