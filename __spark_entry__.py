@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: full KG construction (distill -> facts -> extract
+-> embed -> similarity-merge -> canonical edges) over sf0.001 documents
+wrapped as Common-Crawl-style pages.
+
+`queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
+§2 plus the training-data-pipeline additions; SQL-expressible operators carry
+a DuckDB oracle, similarity/LSH/CC operators are rows-only and covered by the
+pytest differential harness instead.
 """
 
 from __future__ import annotations
@@ -12,27 +15,448 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Canonical KG edges for one batch of pages built from sf0.001 docs."""
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.extract.embed import HashEmbedder
+    from itext2kg_spark.merge.kg import canonicalize_kg
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pages = pages_from_documents(docs)
+    pipe = KGPipeline(ATOM)
+    q = pipe.token_quintuples_from_pages(pages)
+    _, edges = canonicalize_kg(q, ATOM, HashEmbedder())
+    return edges.select(
+        "src_name",
+        "src_label",
+        "pred",
+        "dst_name",
+        "dst_label",
+        F.size("t_obs").alias("n_obs"),
+        F.size("atomic_facts").alias("n_facts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _q_kg_token_quintuples(spark, sf_dir):
+    from itext2kg_spark.extract.quintuples import TokenTripleExtractor
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = TokenTripleExtractor.apply(d, text_col="text")
+    return out.select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        "subj_name",
+        "subj_label",
+        "pred",
+        "obj_name",
+        "obj_label",
+    )
+
+
+def _q_kg_entities(spark, sf_dir):
+    from itext2kg_spark.functions.normalize import norm_label, norm_name
+
+    q = _q_kg_token_quintuples(spark, sf_dir)
+    subj = q.select(
+        norm_name(F.col("subj_name")).alias("name"),
+        norm_label(F.col("subj_label")).alias("label"),
+    )
+    obj = q.select(
+        norm_name(F.col("obj_name")).alias("name"),
+        norm_label(F.col("obj_label")).alias("label"),
+    )
+    return subj.union(obj).distinct()
+
+
+def _q_kg_exact_merge_edges(spark, sf_dir):
+    from itext2kg_spark.functions.normalize import norm_label, norm_name, norm_predicate
+
+    q = _q_kg_token_quintuples(spark, sf_dir)
+    t_obs = (F.lit(1704067200) + (F.col("doc_id") % 365) * 86400).cast("long")
+    e = q.select(
+        norm_name(F.col("subj_name")).alias("src_name"),
+        norm_label(F.col("subj_label")).alias("src_label"),
+        norm_predicate(F.col("pred")).alias("pred"),
+        norm_name(F.col("obj_name")).alias("dst_name"),
+        norm_label(F.col("obj_label")).alias("dst_label"),
+        t_obs.alias("t"),
+    )
+    return e.groupBy("src_name", "src_label", "pred", "dst_name", "dst_label").agg(
+        F.count("*").alias("n_mentions"),
+        F.array_join(F.array_sort(F.collect_list(F.col("t").cast("string"))), ",").alias(
+            "t_obs_list"
+        ),
+    )
+
+
+def _q_kg_isolated_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).distinct()
+    q = _q_kg_token_quintuples(spark, sf_dir)
+    endpoints = (
+        q.select(F.col("subj_name").alias("token"))
+        .union(q.select(F.col("obj_name").alias("token")))
+        .distinct()
+    )
+    return toks.join(endpoints, "token", "left_anti")
+
+
+def _q_kg_counts(spark, sf_dir):
+    from itext2kg_spark.functions.normalize import norm_predicate
+
+    ents = _q_kg_entities(spark, sf_dir)
+    edges = _q_kg_exact_merge_edges(spark, sf_dir)
+    q = _q_kg_token_quintuples(spark, sf_dir)
+    n_ents = ents.count()
+    n_edges = edges.count()
+    n_preds = (
+        q.select(norm_predicate(F.col("pred")).alias("p")).distinct().count()
+    )
+    return spark.createDataFrame(
+        [(n_ents, n_edges, n_preds)], "n_entities long, n_edges long, n_preds long"
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from itext2kg_spark.dedup.exact import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from itext2kg_spark.dedup.ngram import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, n=3)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from itext2kg_spark.dedup.minhash import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8, k=64, bands=16, n=3)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from itext2kg_spark.dedup.embedding import embedding_near_dups
+
+    return embedding_near_dups(
+        _vecs(spark, sf_dir), threshold=0.45, method="broadcast"
+    ).select("id_a", "id_b")
+
+
+def _q_dedup_simhash(spark, sf_dir):  # rows-only (bit-level, not SQL-portable)
+    from itext2kg_spark.dedup.simhash import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from itext2kg_spark.similarity.ann import ann_topk_bruteforce
+
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 20)
+    return ann_topk_bruteforce(queries, vecs, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):  # rows-only (approximate by construction)
+    from itext2kg_spark.similarity.ann import ann_topk_lsh
+
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 20)
+    return ann_topk_lsh(queries, vecs, k=5)
+
+
+def _q_text_stats(spark, sf_dir):
+    from itext2kg_spark.functions.text import text_stats
+
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_text_langid(spark, sf_dir):
+    from itext2kg_spark.functions.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from itext2kg_spark.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_kg_build_graph(spark, sf_dir):  # rows-only: full similarity-merge path
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.extract.embed import HashEmbedder
+    from itext2kg_spark.merge.kg import canonicalize_kg
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    pipe = KGPipeline(ATOM)
+    q = pipe.token_quintuples_from_pages(pages)
+    _, edges = canonicalize_kg(q, ATOM, HashEmbedder())
+    return edges.select(
+        "src_name", "src_label", "pred", "dst_name", "dst_label",
+        F.size("t_obs").alias("n_obs"),
+    )
+
+
+def _q_kg_grammar_pipeline(spark, sf_dir):  # rows-only: grammar + temporal path
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import synth_pages
+
+    n = 200 if "0.001" in sf_dir else (600 if "0.01" in sf_dir else 2000)
+    pages = synth_pages(spark, n, seed=42)
+    pipe = KGPipeline()
+    ents, edges = pipe.build_graph(pages)
+    return edges.select(
+        "src_name", "src_label", "pred", "dst_name", "dst_label",
+        F.size("t_obs").alias("n_obs"),
+        F.size("t_start").alias("n_start"),
+        F.size("t_end").alias("n_end"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_token_quintuples": _q_kg_token_quintuples,
+        "kg_entities": _q_kg_entities,
+        "kg_exact_merge_edges": _q_kg_exact_merge_edges,
+        "kg_isolated_tokens": _q_kg_isolated_tokens,
+        "kg_counts": _q_kg_counts,
+        "kg_build_graph": _q_kg_build_graph,
+        "kg_grammar_pipeline": _q_kg_grammar_pipeline,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram": _q_dedup_ngram,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "text_stats": _q_text_stats,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_QUINT_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+quint AS (
+  SELECT doc_id, i,
+         t[3*i+1] AS subj_name, substr(t[3*i+1], 1, 1) AS subj_label,
+         t[3*i+2] AS pred,
+         t[3*i+3] AS obj_name, substr(t[3*i+3], 1, 1) AS obj_label
+  FROM (SELECT doc_id, t, unnest(range(len(t) // 3)) AS i FROM toks)
+)
+"""
+
+# normalization helpers inlined (ATOM Entity.process / Relationship.process)
+_NN = "trim(regexp_replace(lower({x}), '[_\"\\-]+', ' ', 'g'))"
+_NL = "lower(regexp_replace({x}, '[^a-zA-Z0-9]+', '_', 'g'))"
+
+
+def _nn(x):
+    return _NN.format(x=x)
+
+
+def _nl(x):
+    return _NL.format(x=x)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_token_quintuples": f"""
+WITH {_QUINT_CTE}
+SELECT doc_id, i, subj_name, subj_label, pred, obj_name, obj_label FROM quint
+""",
+        "kg_entities": f"""
+WITH {_QUINT_CTE}
+SELECT DISTINCT name, label FROM (
+  SELECT {_nn('subj_name')} AS name, {_nl('subj_label')} AS label FROM quint
+  UNION ALL
+  SELECT {_nn('obj_name')} AS name, {_nl('obj_label')} AS label FROM quint
+)
+""",
+        "kg_exact_merge_edges": f"""
+WITH {_QUINT_CTE},
+e AS (
+  SELECT {_nn('subj_name')} AS src_name, {_nl('subj_label')} AS src_label,
+         {_nl('pred')} AS pred,
+         {_nn('obj_name')} AS dst_name, {_nl('obj_label')} AS dst_label,
+         CAST(1704067200 + (doc_id % 365) * 86400 AS BIGINT) AS t
+  FROM quint
+)
+SELECT src_name, src_label, pred, dst_name, dst_label,
+       count(*) AS n_mentions,
+       array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
+FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        "kg_isolated_tokens": f"""
+WITH {_QUINT_CTE},
+all_tokens AS (SELECT DISTINCT unnest(t) AS token FROM toks),
+endpoints AS (
+  SELECT subj_name AS token FROM quint UNION SELECT obj_name FROM quint
+)
+SELECT token FROM all_tokens
+WHERE token NOT IN (SELECT token FROM endpoints)
+""",
+        "kg_counts": f"""
+WITH {_QUINT_CTE},
+ents AS (
+  SELECT DISTINCT name, label FROM (
+    SELECT {_nn('subj_name')} AS name, {_nl('subj_label')} AS label FROM quint
+    UNION ALL
+    SELECT {_nn('obj_name')} AS name, {_nl('obj_label')} AS label FROM quint
+  )
+),
+edges AS (
+  SELECT DISTINCT {_nn('subj_name')} AS a, {_nl('subj_label')} AS b,
+         {_nl('pred')} AS c, {_nn('obj_name')} AS d, {_nl('obj_label')} AS e
+  FROM quint
+)
+SELECT (SELECT count(*) FROM ents) AS n_entities,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(DISTINCT {_nl('pred')}) FROM quint) AS n_preds
+""",
+        "dedup_exact": """
+SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram": _JACCARD_SQL,
+        "dedup_minhash": _JACCARD_SQL,
+        "dedup_embedding": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.u, b.u) >= 0.45
+""",
+        "ann_topk": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.u, c.u) AS sim
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+""",
+        "text_stats": """
+WITH b AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, n_chars, n_punct, n_stop,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio
+  FROM b
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN n_chars > 0 THEN floor(n_punct * 10000.0 / n_chars) ELSE 0 END AS BIGINT) AS punct_ratio_10k,
+       CAST(CASE WHEN n_tokens > 0 THEN floor(n_stop * 10000.0 / n_tokens) ELSE 0 END AS BIGINT) AS stop_ratio_10k,
+       CAST(floor((0.5 * least(1.0, n_tokens / 100.0)
+                 + 0.3 * (1.0 - punct_ratio)
+                 + 0.2 * stop_ratio) * 10000.0) AS BIGINT) AS quality_10k
+FROM c
+""",
+        "text_langid": """
+WITH b AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS lt
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(list_filter(lt, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_en,
+         len(list_filter(lt, x -> x IN ('le','la','les','de','des','et','un','une','est','pour'))) AS n_fr,
+         len(list_filter(lt, x -> x IN ('el','la','los','de','y','un','una','es','que','para'))) AS n_es,
+         len(list_filter(lt, x -> x IN ('der','die','das','und','ein','eine','ist','zu','den','von'))) AS n_de
+  FROM b
+)
+SELECT doc_id,
+       CASE WHEN greatest(n_en, n_fr, n_es, n_de) = 0 THEN 'und'
+            WHEN n_en = greatest(n_en, n_fr, n_es, n_de) THEN 'en'
+            WHEN n_fr = greatest(n_en, n_fr, n_es, n_de) THEN 'fr'
+            WHEN n_es = greatest(n_en, n_fr, n_es, n_de) THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM c
+""",
+        "text_fingerprint": """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    }
+
+
+_JACCARD_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+sh AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM g a JOIN g b USING (gram)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT sh.id_a, sh.id_b,
+       CAST(floor(10000 * (shared / (x.n + y.n - shared))) AS BIGINT) AS jaccard_10k
+FROM sh JOIN sz x ON sh.id_a = x.id JOIN sz y ON sh.id_b = y.id
+WHERE shared / (x.n + y.n - shared) >= 0.8
+"""

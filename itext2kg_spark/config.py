@@ -24,6 +24,10 @@ class MatchConfig:
     ent_threshold: float = 0.8
     rel_threshold: float = 0.7
     inclusive: bool = True  # ATOM: sim >= thr; star mode: sim > thr
+    # Cluster linking: "best" connects each item only to its argmax match
+    # (parity with the reference's per-item argmax, matcher.py:73-94);
+    # "all" links every pair >= threshold (denser, pure transitive closure).
+    link_mode: str = "best"
     # Candidate generation: "broadcast" = exact all-pairs (small side broadcast),
     # "lsh" = banded random-hyperplane bucketing, "auto" switches on count.
     candidate_method: str = "auto"
@@ -48,7 +52,7 @@ class EmbedConfig:
     one; everything downstream only sees `array<float>` columns.
     """
 
-    dim: int = 64
+    dim: int = 256
     seed: int = 42
     # Weighted entity embedding: emb = name_weight*emb(name) + label_weight*emb(label)
     # (reference: atom/models/knowledge_graph.py:29-43, weights atom/atom.py:161-162)

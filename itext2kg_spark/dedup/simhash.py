@@ -1,0 +1,78 @@
+"""SimHash near-dup detection: 64-bit token-weighted signatures, band-blocked
+Hamming search.
+
+Signature = sign(sum over tokens of tf-weighted ±1 per bit of blake2b(token)).
+Near-dups = pairs with Hamming distance <= max_hamming, found by splitting the
+64 bits into `bands` exact-match blocks (pigeonhole: any pair within distance
+d < bands shares at least one block) — an equi-join, never a cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _simhash(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    from collections import Counter
+
+    for tok, cnt in Counter(toks).items():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        acc += cnt * (bits.astype(np.int64) * 2 - 1)
+    sig = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+    return int.from_bytes(sig, "little", signed=True)
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([_simhash(t) for t in texts.tolist()])
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs with Hamming(simhash) <= max_hamming."""
+    assert 64 % bands == 0 and max_hamming < bands
+    width = 64 // bands
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
+    ).localCheckpoint()
+
+    blocks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" bi -> struct(bi as band,"
+                f"  (shiftright(sig, bi * {width}) & {(1 << width) - 1}) as block))"
+            )
+        ).alias("b"),
+    ).select("id", "sig", "b.band", "b.block")
+
+    x, y = blocks.alias("x"), blocks.alias("y")
+    cand = (
+        x.join(y, ["band", "block"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

@@ -44,7 +44,7 @@ def _token_vec(token: str, dim: int, seed: int) -> np.ndarray:
     return rng.standard_normal(dim)
 
 
-def hash_embed_texts(texts, dim: int = 64, seed: int = 42) -> np.ndarray:
+def hash_embed_texts(texts, dim: int = 256, seed: int = 42) -> np.ndarray:
     """Deterministic embedding for a list of strings -> (n, dim) float32.
 
     Pure numpy — the same function is handed to the reference matcher in the
@@ -72,7 +72,7 @@ def hash_embed_texts(texts, dim: int = 64, seed: int = 42) -> np.ndarray:
 class HashEmbedder:
     """Pluggable embedder: `udf()` returns a pandas UDF text -> array<float>."""
 
-    def __init__(self, dim: int = 64, seed: int = 42):
+    def __init__(self, dim: int = 256, seed: int = 42):
         self.dim = dim
         self.seed = seed
 

@@ -1,0 +1,97 @@
+"""Text-analysis operators over a documents table — pure Catalyst expressions.
+
+These are the training-data-pipeline additions (lang-ID heuristic, quality
+scoring, token counting, fingerprinting). Every formula is deliberately
+expressible 1:1 in ANSI SQL so the DuckDB oracle can verify them exactly;
+ratio outputs are emitted as floor(x*10000) bigints to avoid cross-engine
+rounding-mode drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword lists (shared verbatim with the SQL oracle).
+STOP_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+STOP_FR = ["le", "la", "les", "de", "des", "et", "un", "une", "est", "pour"]
+STOP_ES = ["el", "la", "los", "de", "y", "un", "una", "es", "que", "para"]
+STOP_DE = ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(tokens_col(text))
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+
+
+def stopword_count(text: Column, stopwords: list[str]) -> Column:
+    toks = tokens_col(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def _ratio10k(num: Column, den: Column) -> Column:
+    """floor(10000 * num/den) as bigint; 0 when denominator is 0."""
+    return F.when(den > 0, F.floor(num * 10000.0 / den)).otherwise(F.lit(0)).cast("long")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id, n_tokens, punct_ratio_10k, stop_ratio_10k, quality_10k.
+
+    quality = 0.5*min(1, n_tokens/100) + 0.3*(1 - punct_ratio) + 0.2*stop_en_ratio
+    — the length/punctuation/stopword heuristic family used by web-text
+    quality filters, as one deterministic scalar.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = punct_count(t)
+    n_stop = stopword_count(t, STOP_EN)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    quality = (
+        0.5 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.2 * stop_ratio
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        _ratio10k(n_punct, n_chars).alias("punct_ratio_10k"),
+        _ratio10k(n_stop, n_tok).alias("stop_ratio_10k"),
+        F.floor(quality * 10000.0).cast("long").alias("quality_10k"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id, lang_pred — stopword-voting heuristic with fixed priority
+    en > fr > es > de, 'und' (undetermined) when no list scores > 0."""
+    t = F.lower(F.col(text_col))
+    n_en = stopword_count(t, STOP_EN)
+    n_fr = stopword_count(t, STOP_FR)
+    n_es = stopword_count(t, STOP_ES)
+    n_de = stopword_count(t, STOP_DE)
+    best = F.greatest(n_en, n_fr, n_es, n_de)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(n_en == best, F.lit("en"))
+        .when(n_fr == best, F.lit("fr"))
+        .when(n_es == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id, fp — md5 of whitespace-normalized lowercased text (the cheap
+    content fingerprint used for exact-dedup keys)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))

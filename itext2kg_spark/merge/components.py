@@ -30,13 +30,25 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 25,
 ) -> DataFrame:
-    """vertices(id) + edges(id_a, id_b) -> (id, comp); comp = min id in component."""
+    """vertices(id) + edges(id_a, id_b) -> (id, comp); comp = min id in component.
+
+    Only vertices touched by at least one edge enter the iteration — untouched
+    vertices are their own component by definition, so the loop state is
+    O(|matched items|), not O(|all items|): at web scale the similarity graph
+    is sparse and this is the difference between shuffling a few million rows
+    and shuffling the whole entity table every iteration.
+    """
     und = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    und = und.localCheckpoint(eager=False)
+    und = und.localCheckpoint()
+    if und.isEmpty():
+        return vertices.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+        )
 
-    lab = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    touched = und.select(F.col("src").alias("id")).distinct()
+    lab = touched.select(F.col("id"), F.col("id").alias("comp"))
     lab = lab.localCheckpoint()
     prev_sum = lab.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 

@@ -58,14 +58,29 @@ def _normalize_quintuples(q: DataFrame) -> DataFrame:
     )
 
 
+def _mention_order() -> F.Column:
+    # A sortable first-seen key per mention: the reference's merge tree folds
+    # atomic facts in input order, so the earliest (url, fact_idx) mention's
+    # surface form becomes the cluster representative.
+    return F.struct(F.col("url"), F.col("fact_idx"))
+
+
 def _entity_mentions(q: DataFrame) -> DataFrame:
     subj = q.select(
-        F.col("subj_name").alias("name"), F.col("subj_label").alias("label")
+        F.col("subj_name").alias("name"),
+        F.col("subj_label").alias("label"),
+        _mention_order().alias("__ord"),
     )
     obj = q.select(
-        F.col("obj_name").alias("name"), F.col("obj_label").alias("label")
+        F.col("obj_name").alias("name"),
+        F.col("obj_label").alias("label"),
+        _mention_order().alias("__ord"),
     )
-    return subj.union(obj).distinct()
+    return (
+        subj.union(obj)
+        .groupBy("name", "label")
+        .agg(F.min("__ord").alias("first_seen"))
+    )
 
 
 def embed_entities(
@@ -101,13 +116,19 @@ def canonicalize_kg(
     edges:    src_name, src_label, pred, dst_name, dst_label,
               t_obs/t_start/t_end array<double>, atomic_facts array<string>
     """
-    q = _normalize_quintuples(quintuples)
+    # Materialize the quintuple mention table once — it feeds entity-mention
+    # distinct, predicate distinct, and the final remap; recomputing the
+    # distill/extract UDF lineage per action would triple the extraction cost
+    # (the reference likewise materializes extraction output before merging).
+    q = _normalize_quintuples(quintuples).localCheckpoint()
 
     # ---- entity resolution -------------------------------------------------
     ents = _entity_mentions(q).withColumn("is_existing", F.lit(False))
     if existing_entities is not None:
-        ex = existing_entities.select("name", "label").withColumn(
-            "is_existing", F.lit(True)
+        ex = (
+            existing_entities.select("name", "label")
+            .withColumn("is_existing", F.lit(True))
+            .withColumn("first_seen", F.lit(None).cast(ents.schema["first_seen"].dataType))
         )
         # batch rows that exactly equal a store row are dropped in favor of
         # the store row (exact-match pre-pass, matcher.py:41-63)
@@ -123,6 +144,7 @@ def canonicalize_kg(
         cfg.match.ent_threshold,
         key_cols=["name", "label"],
         emb_col="emb",
+        order_col="first_seen",
     )
     ent_map = resolved_e.select(
         "name", "label", "canon_name", "canon_label"
@@ -137,10 +159,20 @@ def canonicalize_kg(
     )
 
     # ---- predicate resolution (names only, matcher.py:105-153) -------------
-    preds = q.select("pred").distinct().withColumn("is_existing", F.lit(False))
+    preds = (
+        q.select("pred", _mention_order().alias("__ord"))
+        .groupBy("pred")
+        .agg(F.min("__ord").alias("first_seen"))
+        .withColumn("is_existing", F.lit(False))
+    )
     if existing_edges is not None:
-        exp = existing_edges.select(F.col("pred")).distinct().withColumn(
-            "is_existing", F.lit(True)
+        exp = (
+            existing_edges.select(F.col("pred"))
+            .distinct()
+            .withColumn("is_existing", F.lit(True))
+            .withColumn(
+                "first_seen", F.lit(None).cast(preds.schema["first_seen"].dataType)
+            )
         )
         preds = exp.unionByName(
             preds.join(exp.select("pred"), ["pred"], "left_anti")
@@ -154,6 +186,7 @@ def canonicalize_kg(
         cfg.match.rel_threshold,
         key_cols=["pred"],
         emb_col="emb",
+        order_col="first_seen",
     )
     pred_map = resolved_p.select("pred", "canon_pred")
 

@@ -39,6 +39,31 @@ class KGPipeline:
         facts = split_atomic_facts(distilled)
         return extract_quintuples(facts, self.extractor)
 
+    def token_quintuples_from_pages(self, pages: DataFrame) -> DataFrame:
+        """Pure-Catalyst extraction variant (TokenTripleExtractor): used when
+        the corpus has no grammar structure (arbitrary web text) and by the
+        oracle-checked queries. Emits the same quintuple schema with empty
+        temporal arrays."""
+        from itext2kg_spark.extract.quintuples import TokenTripleExtractor
+
+        distilled = distill_pages(pages)
+        facts = split_atomic_facts(distilled)
+        q = TokenTripleExtractor.apply(facts, text_col="fact")
+        return q.select(
+            "url",
+            "obs_ts",
+            "lang",
+            "fact_idx",
+            "fact",
+            "subj_name",
+            "subj_label",
+            "pred",
+            "obj_name",
+            "obj_label",
+            F.array().cast("array<string>").alias("t_start"),
+            F.array().cast("array<string>").alias("t_end"),
+        )
+
     # -- one batch ------------------------------------------------------------
     def build_graph(
         self,

@@ -95,6 +95,35 @@ def generate_page(page_id: int, seed: int = 42, hot_share: float = 0.2) -> dict:
     }
 
 
+def pages_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Wrap an arbitrary documents(doc_id, text, lang) table as pages with the
+    distill-invertible html envelope — pure Catalyst (escape + concat +
+    encode), no Python. warc_ts derives deterministically from doc_id."""
+    from pyspark.sql import functions as F
+
+    esc = F.expr(
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>d</title></head><body>"
+                  "<nav>boilerplate nav</nav><main>"),
+            esc,
+            F.lit("</main><footer>boilerplate footer</footer></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col(id_col).cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col(id_col) % 365) * 86400
+        ).alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def synth_pages(
     spark: SparkSession,
     n_pages: int,

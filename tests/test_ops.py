@@ -1,0 +1,172 @@
+"""Unit tests for the training-data operators: dedup family, ANN, text
+analysis, multimodal plumbing, LSH candidate recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from itext2kg_spark.config import MatchConfig
+from itext2kg_spark.dedup.exact import dedup_keep_first, exact_duplicates
+from itext2kg_spark.dedup.minhash import minhash_lsh_pairs
+from itext2kg_spark.dedup.ngram import jaccard_pairs
+from itext2kg_spark.dedup.simhash import simhash_pairs
+from itext2kg_spark.dedup.embedding import embedding_near_dups
+from itext2kg_spark.extract.embed import HashEmbedder
+from itext2kg_spark.functions.text import lang_id, text_stats
+from itext2kg_spark.merge.candidates import candidate_pairs
+from itext2kg_spark.functions.vectors import unit
+from itext2kg_spark.similarity.ann import ann_topk_bruteforce, ann_topk_lsh
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = BASE + " tonight"  # high 3-gram overlap
+FAR = "completely different content about spark shuffles and joins here now"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0/1
+        (3, FAR),
+        (4, "tiny"),        # shorter than one 3-gram window
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    sizes = sorted(g["n_dups"] for g in groups)
+    assert sizes == [1, 1, 1, 2]
+    kept = dedup_keep_first(docs)
+    assert kept.count() == 4
+    assert kept.where(F.col("doc_id") == 1).count() == 0  # min-id keeper wins
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_10k"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 10000  # identical
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 5000
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_minhash_matches_exact_jaccard(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(docs, max_hamming=6, bands=8).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text -> identical signature
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dups_and_lsh_agree(spark):
+    emb = HashEmbedder(32, 7)
+    texts = [f"cluster{i // 3} item variant {i % 3}" for i in range(30)]
+    mat = emb(texts)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(texts))]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(vecs, 0.8, method="broadcast").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(vecs, 0.8, method="lsh").collect()
+    }
+    assert exact, "fixture should produce near-dup pairs"
+    # LSH with default (6,24) at θ=0.8 has ≥0.999 per-pair recall
+    assert lsh == exact
+
+
+def test_lsh_candidate_recall_against_broadcast(spark):
+    emb = HashEmbedder(64, 42)
+    texts = [f"entity {i % 20} variant {i % 4}" for i in range(100)]
+    mat = emb(texts)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, emb array<float>").withColumn(
+        "emb", unit(F.col("emb").cast("array<double>"))
+    )
+    exact = candidate_pairs(
+        df, MatchConfig(candidate_method="broadcast"), 0.8
+    )
+    lsh = candidate_pairs(df, MatchConfig(candidate_method="lsh"), 0.8)
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert len(e) > 0
+    recall = len(e & l) / len(e)
+    assert recall >= 0.99, f"LSH recall {recall}"
+    assert l <= e  # exact-cosine verification removes false candidates
+
+
+def test_ann_topk_and_lsh(spark):
+    emb = HashEmbedder(32, 3)
+    texts = [f"doc number {i} about topic {i % 5}" for i in range(40)]
+    mat = emb(texts)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs.where(F.col("vec_id") < 3)
+    bf = ann_topk_bruteforce(q, vecs, k=4)
+    got = bf.collect()
+    assert len(got) == 12
+    for r in got:
+        assert r["query_id"] != r["neighbor_id"]
+    # rank 1 neighbor shares the topic (highest token overlap)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    for qid, nid in top1.items():
+        assert nid % 5 == qid % 5
+    # LSH version returns <= k rows per query with plausible overlap
+    lsh = ann_topk_lsh(q, vecs, k=4, rows=4, bands=16)
+    per_q = lsh.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 4 for r in per_q)
+
+
+def test_text_stats_and_langid(spark):
+    rows = [
+        (0, "the cat and the dog, in a house."),
+        (1, "le chat est dans la maison et il dort."),
+        (2, "xyzzy qwerty asdf"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == 8
+    assert stats[3]["n_tokens"] == 0
+    assert stats[0]["stop_ratio_10k"] > 0
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[1] == "fr"
+    assert langs[2] == "und"
+
+
+def test_multimodal_plumbing(spark):
+    from itext2kg_spark.extract.multimodal import (
+        decode_image,
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    feats = extract_media_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0 and len(r["sha"]) == 64
+    # determinism across runs
+    again = {r["url"]: r["sha"] for r in extract_media_features(media, fake=True).collect()}
+    assert {r["url"]: r["sha"] for r in rows} == again
+    # the real decode path is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")

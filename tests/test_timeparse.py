@@ -1,0 +1,51 @@
+"""P4 parity: timestamp parsing vs dateutil (the reference's parser)."""
+
+from dateutil import parser as dparser
+from pyspark.sql import functions as F
+
+from itext2kg_spark.functions.timeparse import parse_timestamp_expr, parse_timestamp_array
+
+CASES = [
+    "2025-01-01",
+    "2025-07-17 12:30:00",
+    "2025-07-17T12:30:00",
+    "July 17 2025",
+    "March 3, 2024",
+    "17 March 2024",
+    "03/15/2025",
+    "not a date",
+    "",
+]
+
+
+def _dateutil_utc(v):
+    from datetime import timezone
+
+    try:
+        dt = dparser.parse(v)
+    except Exception:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def test_scalar_parse_matches_dateutil(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], ["s"])
+    got = {
+        r["s"]: r["epoch"]
+        for r in df.select("s", parse_timestamp_expr(F.col("s")).alias("epoch")).collect()
+    }
+    for c in CASES:
+        expected = _dateutil_utc(c)
+        assert got[c] == expected, f"{c!r}: {got[c]} != {expected}"
+
+
+def test_array_parse_drops_unparseable(spark):
+    df = spark.createDataFrame(
+        [(["2025-01-01", "garbage", "July 17 2025"],)], ["a"]
+    )
+    row = df.select(parse_timestamp_array(F.col("a")).alias("p")).collect()[0]
+    assert len(row["p"]) == 2
+    assert row["p"][0] == _dateutil_utc("2025-01-01")
+    assert row["p"][1] == _dateutil_utc("July 17 2025")
