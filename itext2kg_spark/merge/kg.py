@@ -33,6 +33,8 @@ the canonical triple, which Spark executes with partial (map-side) aggregation.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,13 +50,22 @@ EDGE_GROUP_KEYS = ["src_name", "src_label", "pred", "dst_name", "dst_label"]
 EDGE_LIST_COLS = ["t_obs", "t_start", "t_end", "atomic_facts"]
 
 
-def _normalize_quintuples(q: DataFrame) -> DataFrame:
+def _normalize_quintuples(q: DataFrame, mode: str = "atom") -> DataFrame:
+    if mode == "star":  # legacy per-char rule, case-preserving labels (P3)
+        from itext2kg_spark.functions.normalize import (
+            norm_label_star,
+            norm_name_star,
+        )
+
+        nn, nl, np_ = norm_name_star, norm_label_star, norm_label_star
+    else:
+        nn, nl, np_ = norm_name, norm_label, norm_predicate
     return (
-        q.withColumn("subj_name", norm_name(F.col("subj_name")))
-        .withColumn("subj_label", norm_label(F.col("subj_label")))
-        .withColumn("obj_name", norm_name(F.col("obj_name")))
-        .withColumn("obj_label", norm_label(F.col("obj_label")))
-        .withColumn("pred", norm_predicate(F.col("pred")))
+        q.withColumn("subj_name", nn(F.col("subj_name")))
+        .withColumn("subj_label", nl(F.col("subj_label")))
+        .withColumn("obj_name", nn(F.col("obj_name")))
+        .withColumn("obj_label", nl(F.col("obj_label")))
+        .withColumn("pred", np_(F.col("pred")))
     )
 
 
@@ -120,73 +131,92 @@ def canonicalize_kg(
     # distinct, predicate distinct, and the final remap; recomputing the
     # distill/extract UDF lineage per action would triple the extraction cost
     # (the reference likewise materializes extraction output before merging).
-    q = _normalize_quintuples(quintuples).localCheckpoint()
+    # cfg.materialize_quintuples=False skips the barrier for cheap extractors.
+    q = _normalize_quintuples(quintuples, cfg.mode)
+    if cfg.materialize_quintuples:
+        q = q.localCheckpoint()
 
-    # ---- entity resolution -------------------------------------------------
-    ents = _entity_mentions(q).withColumn("is_existing", F.lit(False))
-    if existing_entities is not None:
-        ex = (
-            existing_entities.select("name", "label")
-            .withColumn("is_existing", F.lit(True))
-            .withColumn("first_seen", F.lit(None).cast(ents.schema["first_seen"].dataType))
-        )
-        # batch rows that exactly equal a store row are dropped in favor of
-        # the store row (exact-match pre-pass, matcher.py:41-63)
-        ents = ex.unionByName(
-            ents.join(ex.select("name", "label"), ["name", "label"], "left_anti")
-        )
-    ents = embed_entities(
-        ents, embedder, cfg.embed.name_weight, cfg.embed.label_weight
-    )
-    resolved_e = resolve_items(
-        ents,
-        cfg.match,
-        cfg.match.ent_threshold,
-        key_cols=["name", "label"],
-        emb_col="emb",
-        order_col="first_seen",
-    )
-    ent_map = resolved_e.select(
-        "name", "label", "canon_name", "canon_label"
-    )
-    entities = (
-        resolved_e.where("is_rep")
-        .select(
-            F.col("canon_name").alias("name"),
-            F.col("canon_label").alias("label"),
-            "embedding",
-        )
-    )
-
-    # ---- predicate resolution (names only, matcher.py:105-153) -------------
-    preds = (
-        q.select("pred", _mention_order().alias("__ord"))
-        .groupBy("pred")
-        .agg(F.min("__ord").alias("first_seen"))
-        .withColumn("is_existing", F.lit(False))
-    )
-    if existing_edges is not None:
-        exp = (
-            existing_edges.select(F.col("pred"))
-            .distinct()
-            .withColumn("is_existing", F.lit(True))
-            .withColumn(
-                "first_seen", F.lit(None).cast(preds.schema["first_seen"].dataType)
+    def _resolve_entities():
+        ents = _entity_mentions(q).withColumn("is_existing", F.lit(False))
+        if existing_entities is not None:
+            ex = (
+                existing_entities.select("name", "label")
+                .withColumn("is_existing", F.lit(True))
+                .withColumn(
+                    "first_seen",
+                    F.lit(None).cast(ents.schema["first_seen"].dataType),
+                )
             )
+            # batch rows that exactly equal a store row are dropped in favor
+            # of the store row (exact-match pre-pass, matcher.py:41-63)
+            ents = ex.unionByName(
+                ents.join(
+                    ex.select("name", "label"), ["name", "label"], "left_anti"
+                )
+            )
+        # checkpoint the tiny distinct table BEFORE embedding: the embed
+        # join-back references it twice, and without this each branch
+        # recomputes the full mention groupBy
+        ents = ents.localCheckpoint()
+        ents = embed_entities(
+            ents, embedder, cfg.embed.name_weight, cfg.embed.label_weight
         )
-        preds = exp.unionByName(
-            preds.join(exp.select("pred"), ["pred"], "left_anti")
+        return resolve_items(
+            ents,
+            cfg.match,
+            cfg.match.ent_threshold,
+            key_cols=["name", "label"],
+            emb_col="emb",
+            order_col="first_seen",
         )
-    preds = with_embedding(preds, "pred", "embedding", embedder).withColumn(
-        "emb", unit(F.col("embedding"))
-    )
-    resolved_p = resolve_items(
-        preds,
-        cfg.match,
-        cfg.match.rel_threshold,
-        key_cols=["pred"],
-        emb_col="emb",
-        order_col="first_seen",
+
+    def _resolve_predicates():
+        preds = (
+            q.select("pred", _mention_order().alias("__ord"))
+            .groupBy("pred")
+            .agg(F.min("__ord").alias("first_seen"))
+            .withColumn("is_existing", F.lit(False))
+        )
+        if existing_edges is not None:
+            exp = (
+                existing_edges.select(F.col("pred"))
+                .distinct()
+                .withColumn("is_existing", F.lit(True))
+                .withColumn(
+                    "first_seen",
+                    F.lit(None).cast(preds.schema["first_seen"].dataType),
+                )
+            )
+            preds = exp.unionByName(
+                preds.join(exp.select("pred"), ["pred"], "left_anti")
+            )
+        preds = preds.localCheckpoint()
+        preds = with_embedding(preds, "pred", "embedding", embedder).withColumn(
+            "emb", unit(F.col("embedding"))
+        )
+        return resolve_items(
+            preds,
+            cfg.match,
+            cfg.match.rel_threshold,
+            key_cols=["pred"],
+            emb_col="emb",
+            order_col="first_seen",
+        )
+
+    # Entity and predicate resolution are independent chains of small jobs
+    # (checkpoint/count/CC iterations); running them on two driver threads
+    # overlaps their serial latencies — Spark schedules concurrent jobs fine.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fe = pool.submit(_resolve_entities)
+        fp = pool.submit(_resolve_predicates)
+        resolved_e = fe.result()
+        resolved_p = fp.result()
+
+    ent_map = resolved_e.select("name", "label", "canon_name", "canon_label")
+    entities = resolved_e.where("is_rep").select(
+        F.col("canon_name").alias("name"),
+        F.col("canon_label").alias("label"),
+        "embedding",
     )
     pred_map = resolved_p.select("pred", "canon_pred")
 

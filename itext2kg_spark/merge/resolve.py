@@ -1,27 +1,106 @@
 """Threshold-based resolution of items (entities or predicate names) into
-canonical representatives: candidates -> connected components -> deterministic
-representative per cluster.
+canonical representatives: candidates -> best-match linking -> connected
+components -> deterministic representative per cluster.
 
 Semantic core reproduced (SURVEY.md §2.7; matcher.py:176-232):
   (i)  exact key equality unifies items — free here, items are already
        distinct on their key so equal items share one row;
-  (ii) cosine >= θ unifies an item with its match (the reference takes
-       argmax-per-left-row; CC takes the transitive closure — equivalent
-       within the P/R budget at the default thresholds, and order-free);
+  (ii) cosine >= θ links an item to its best-scoring match (the reference's
+       argmax-per-item, matcher.py:73-94); components of the best-match graph
+       are the order-free closure of the reference's iterated pairwise merge;
   (iii) on a match the *existing/global* object wins (matcher.py:81-87 keeps
        the entities2 object; matcher.py:152 renames rels1 to rels2's name) —
-       so representatives prefer `is_existing`, then lexicographic min for
-       determinism.
+       representatives prefer `is_existing`, then the earliest-seen surface
+       form (the reference's merge tree folds facts in input order, so the
+       accumulated left side's form survives), then lexicographic keys.
+
+Two physical strategies, chosen by distinct-item count (mirroring Spark's own
+small-side/broadcast reasoning):
+
+  * driver path (n <= broadcast_limit): one collect of (keys, unit-vector,
+    flags), a BLAS n x n cosine, argmax linking, union-find, representative
+    pick — microseconds of driver CPU, ONE Spark action. A batch's distinct
+    entity set is orders of magnitude smaller than its mention table, so this
+    is the common case; the latency-critical serial path of every batch stays
+    at ~2 jobs.
+  * distributed path (n > broadcast_limit): LSH-banded candidate join +
+    vectorized cosine verify + iterative DataFrame connected components
+    (merge/components.py) + window-based representative selection. Unbounded
+    scale; only engaged when the distinct set genuinely cannot sit on the
+    driver (10^8+ distinct names).
+
+Both return the same schema: items' columns + comp, is_rep, canon_<key>.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from itext2kg_spark.config import MatchConfig
 from itext2kg_spark.merge.candidates import candidate_pairs
-from itext2kg_spark.merge.components import connected_components
+from itext2kg_spark.merge.components import _driver_union_find, connected_components
+
+
+def _driver_resolve(
+    rows: list,
+    key_cols: list[str],
+    threshold: float,
+    inclusive: bool,
+    has_existing: bool,
+    order_col: str | None,
+):
+    """numpy/union-find resolution over collected rows; returns list of
+    (key..., comp, is_rep, canon_key...) tuples."""
+    n = len(rows)
+    if n == 0:
+        return []
+    keys = [tuple(r[c] for c in key_cols) for r in rows]
+    mat = np.asarray([np.asarray(r["emb"], dtype=np.float64) for r in rows])
+    exist = (
+        np.asarray([bool(r["is_existing"]) for r in rows])
+        if has_existing
+        else np.zeros(n, dtype=bool)
+    )
+
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    ok = sims >= threshold if inclusive else sims > threshold
+    if has_existing:
+        ok &= ~(exist[:, None] & exist[None, :])
+    sims_masked = np.where(ok, sims, -np.inf)
+    # best-match link per item (argmax with min-index tie-break, like the
+    # window orderBy sim desc, id asc in the distributed path)
+    best = sims_masked.argmax(axis=1)
+    linked = sims_masked[np.arange(n), best] > -np.inf
+    pairs = [(int(i), int(best[i])) for i in np.nonzero(linked)[0]]
+
+    comp_map = _driver_union_find(pairs)
+    comps = [comp_map.get(i, i) for i in range(n)]
+
+    # representative per component: is_existing desc, first_seen asc (nulls
+    # last), keys asc
+    def order_key(i: int):
+        first_seen = rows[i][order_col] if order_col else None
+        return (
+            0 if exist[i] else 1,
+            (1,) if first_seen is None else (0, tuple(first_seen)),
+            keys[i],
+        )
+
+    members: dict[int, list[int]] = {}
+    for i, c in enumerate(comps):
+        members.setdefault(c, []).append(i)
+    rep_of = {}
+    for c, idxs in members.items():
+        rep_of[c] = min(idxs, key=order_key)
+
+    out = []
+    for i in range(n):
+        rep = rep_of[comps[i]]
+        out.append(keys[i] + (comps[i], i == rep) + keys[rep])
+    return out
 
 
 def resolve_items(
@@ -33,56 +112,70 @@ def resolve_items(
     n_items: int | None = None,
     order_col: str | None = None,
 ) -> DataFrame:
-    """items(key_cols..., emb [, is_existing]) -> items + (comp, is_rep) +
-    canonical key columns `canon_<key>` for every key col.
+    """items(key_cols..., emb [, is_existing][, order_col]) -> items +
+    (comp, is_rep) + canonical keys `canon_<key>`.
 
-    `emb` must be unit-normalized. Rows form one cluster iff connected by
-    cosine >= threshold (ATOM) / > threshold (star).
+    `emb` must be unit-normalized. Items cluster when connected through
+    best-match links at cosine >= threshold (ATOM) / > threshold (star).
     """
     has_existing = "is_existing" in items.columns
-    # Materialize the (small) distinct-item table once: it feeds the candidate
-    # join twice, the CC vertex set, and the final representative pass —
-    # without this every action re-runs the upstream embed UDF lineage.
+    spark = items.sparkSession
+
+    if n_items is None:
+        n_items = items.count()
+
+    if n_items <= cfg.broadcast_limit:
+        sel = key_cols + [F.col(emb_col).alias("emb")]
+        if has_existing:
+            sel.append("is_existing")
+        if order_col:
+            sel.append(order_col)
+        rows = items.select(*sel).collect()
+        resolved = _driver_resolve(
+            rows, key_cols, threshold, cfg.inclusive, has_existing, order_col
+        )
+        key_schema = items.select(*key_cols).schema
+        fields = (
+            [f"{f.name} {f.dataType.simpleString()}" for f in key_schema.fields]
+            + ["comp long", "is_rep boolean"]
+            + [
+                f"canon_{f.name} {f.dataType.simpleString()}"
+                for f in key_schema.fields
+            ]
+        )
+        mapping = spark.createDataFrame(resolved, ", ".join(fields))
+        # materialize the (tiny) resolved table once — it feeds 3-4 separate
+        # consumers (src map, dst map, canonical entity output) and without
+        # this each one re-executes the upstream embed/groupBy lineage
+        return items.join(F.broadcast(mapping), key_cols).localCheckpoint()
+
+    # ---- distributed path ----------------------------------------------------
     with_id = items.withColumn("id", F.xxhash64(*key_cols)).localCheckpoint()
-    if n_items is None and cfg.candidate_method == "auto":
-        n_items = with_id.count()
 
     pairs = candidate_pairs(
         with_id, cfg, threshold, emb_col=emb_col, id_col="id", n_items=n_items
     )
     if cfg.link_mode == "best":
-        # Keep only each node's single best-scoring link (the reference
-        # matches every item to its argmax counterpart, matcher.py:73-94;
-        # weak non-best pairs above θ never form links there, so including
-        # them would transitively over-merge distinct clusters that share a
-        # borderline bridge pair).
+        # Keep only each node's single best-scoring link (argmax parity with
+        # the reference; weak non-best pairs above θ never form links there,
+        # so including them would transitively over-merge distinct clusters
+        # that share one borderline bridge pair).
         directed = pairs.select(
             F.col("id_a").alias("v"), F.col("id_b").alias("w"), "sim"
         ).union(
-            pairs.select(
-                F.col("id_b").alias("v"), F.col("id_a").alias("w"), "sim"
-            )
+            pairs.select(F.col("id_b").alias("v"), F.col("id_a").alias("w"), "sim")
         )
-        wbest = Window.partitionBy("v").orderBy(
-            F.col("sim").desc(), F.col("w").asc()
-        )
+        wbest = Window.partitionBy("v").orderBy(F.col("sim").desc(), F.col("w").asc())
         pairs = (
             directed.withColumn("__rn", F.row_number().over(wbest))
             .where(F.col("__rn") == 1)
             .select(F.col("v").alias("id_a"), F.col("w").alias("id_b"), "sim")
         )
-    comp = connected_components(
-        with_id.select("id"), pairs, max_iter=cfg.cc_max_iter
-    )
+    comp = connected_components(with_id.select("id"), pairs, max_iter=cfg.cc_max_iter)
     labeled = with_id.join(comp, "id", "left").withColumn(
         "comp", F.coalesce(F.col("comp"), F.col("id"))
     )
 
-    # Representative priority mirrors the reference's "global side wins":
-    # store rows first (matcher.py:81-87), then earliest-seen surface form —
-    # in the reference's binary merge tree the accumulated LEFT kg keeps its
-    # object when the RIGHT side matches onto it (atom/atom.py:40-53 argument
-    # order), so the first-observed form propagates as the canonical one.
     order = []
     if has_existing:
         order.append(F.col("is_existing").desc())
@@ -93,11 +186,8 @@ def resolve_items(
     ranked = labeled.withColumn("__rn", F.row_number().over(w))
 
     reps = ranked.where(F.col("__rn") == 1).select(
-        F.col("comp"),
-        *[F.col(c).alias(f"canon_{c}") for c in key_cols],
+        F.col("comp"), *[F.col(c).alias(f"canon_{c}") for c in key_cols]
     )
-    return (
-        ranked.withColumn("is_rep", F.col("__rn") == 1)
-        .drop("__rn")
-        .join(reps, "comp")
+    return ranked.withColumn("is_rep", F.col("__rn") == 1).drop("__rn").join(
+        reps, "comp"
     )

@@ -44,10 +44,62 @@ def get_spark(
         # (langchain_output_parser.py:168-221): extraction/embedding UDFs see
         # bounded batches.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Size scan splits for CPU-heavy UDF stages, not for scan bytes: at
+        # the default 128MB a compact pages table collapses to a handful of
+        # splits and the distill/extract pandas stages run at parallelism ~2.
+        # 16MB keeps split count >= cores for any non-trivial input; on a
+        # 100TB table the split count is huge either way and this only
+        # bounds per-task memory.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def get_spark_cluster(
+    n_executors: int,
+    cores_per_executor: int = 2,
+    executor_mem_mb: int = 3072,
+    app_name: str = "itext2kg_spark-cluster",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Multi-JVM executor topology via Spark's local-cluster mode.
+
+    Unlike local[n] (one shared JVM — one GC, one Arrow/IPC path), this
+    spawns `n_executors` REAL executor JVMs with their own heaps and Python
+    worker pools, so an N vs 4N executor comparison measures the engine, not
+    single-JVM contention. This is the closest spark-submit-on-a-cluster
+    stand-in a single host offers.
+    """
+    import pyspark
+
+    os.environ.setdefault("SPARK_HOME", pyspark.__path__[0])
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n_executors * cores_per_executor, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(
+            f"local-cluster[{n_executors},{cores_per_executor},{executor_mem_mb}]"
+        )
+        .config("spark.executor.memory", f"{executor_mem_mb - 512}m")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
     return b.getOrCreate()

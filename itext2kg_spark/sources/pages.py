@@ -77,9 +77,15 @@ def _fact(rng: np.random.Generator) -> str:
     return f"{_org(rng)} acquired {_org(rng)} on {_date_str(rng)}."
 
 
-def generate_page(page_id: int, seed: int = 42, hot_share: float = 0.2) -> dict:
+def generate_page(
+    page_id: int,
+    seed: int = 42,
+    hot_share: float = 0.2,
+    min_facts: int = 1,
+    max_facts: int = 5,
+) -> dict:
     rng = np.random.Generator(np.random.PCG64([seed, page_id]))
-    n_facts = int(rng.integers(1, 6))
+    n_facts = int(rng.integers(min_facts, max_facts + 1))
     text = " ".join(_fact(rng) for _ in range(n_facts))
     hot = rng.random() < hot_share
     domain = "hot.example.com" if hot else f"site{int(rng.integers(0, 1000)):04d}.example.org"
@@ -130,12 +136,17 @@ def synth_pages(
     seed: int = 42,
     hot_share: float = 0.2,
     partitions: int | None = None,
+    min_facts: int = 1,
+    max_facts: int = 5,
 ) -> DataFrame:
     rng_seed, share = seed, hot_share
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [generate_page(int(i), rng_seed, share) for i in pdf["id"]]
+            rows = [
+                generate_page(int(i), rng_seed, share, min_facts, max_facts)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows)
 
     base = spark.range(n_pages, numPartitions=partitions)
