@@ -108,9 +108,13 @@ def _scaling_child(cores: int, path: str) -> None:
     s = _fresh_spark(cores)
     pipe = KGPipeline()
     pipe.build_graph(s.read.parquet(path).limit(4000))[1].count()  # warm
-    t0 = time.time()
-    n = pipe.build_graph(s.read.parquet(path))[1].count()
-    print(f"SCALING {cores} {time.time() - t0:.3f} {n}")
+    best, n = None, 0
+    for _ in range(2):  # best-of-2: damps transient host-tenancy noise
+        t0 = time.time()
+        n = pipe.build_graph(s.read.parquet(path))[1].count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"SCALING {cores} {best:.3f} {n}")
 
 
 def _run_pinned(cores: int, path: str) -> float:

@@ -158,6 +158,9 @@ class KGPipeline:
             entities,
             edges,
             metrics={"n_pages": n_pages},
+            lineage=partition_lineage(pages).withColumn(
+                "batch_id", F.lit(batch_id)
+            ),
         )
         return batch_id
 

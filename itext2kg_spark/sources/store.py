@@ -64,14 +64,24 @@ class KGStore:
         entities: DataFrame,
         edges: DataFrame,
         metrics: dict | None = None,
+        lineage: DataFrame | None = None,
     ) -> None:
         d = self._snap_dir(batch_id)
         if os.path.exists(d):  # partial snapshot from a crashed run
             shutil.rmtree(d)
         entities.write.mode("overwrite").parquet(os.path.join(d, "entities"))
         edges.write.mode("overwrite").parquet(os.path.join(d, "edges"))
+        if lineage is not None:
+            # per-partition lineage of the batch input (north rule): which
+            # input partitions contributed, row counts, distinct keys
+            lineage.write.mode("overwrite").parquet(os.path.join(d, "lineage"))
         with open(os.path.join(d, "_COMMITTED"), "w") as f:
             json.dump({"batch_id": batch_id, "metrics": metrics or {}}, f)
+
+    def load_lineage(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self._snap_dir(batch_id), "lineage")
+        )
 
     def load(
         self, spark: SparkSession, batch_id: int | None = None

@@ -164,11 +164,15 @@ def spark_triples(edges_df) -> list[tuple]:
 
 
 def pr(reference: list[tuple], ours: list[tuple]) -> tuple[float, float]:
-    """Multiset precision/recall of our triples vs the reference's."""
-    from collections import Counter
+    """Set precision/recall of our triples vs the reference's.
 
-    cr, co = Counter(reference), Counter(ours)
-    inter = sum((cr & co).values())
-    precision = inter / max(sum(co.values()), 1)
-    recall = inter / max(sum(cr.values()), 1)
+    Sets, not multisets: the reference can emit duplicate (src,pred,dst)
+    objects when endpoints become identical only AFTER remapping (its
+    full-identity dedup runs before the endpoint rewrite,
+    matcher.py:155-170 vs :204-226), and its own persistence layer collapses
+    them via Cypher MERGE (neo4j_storage.py:193-246) — as our groupBy does."""
+    sr, so = set(reference), set(ours)
+    inter = len(sr & so)
+    precision = inter / max(len(so), 1)
+    recall = inter / max(len(sr), 1)
     return precision, recall
