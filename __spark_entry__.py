@@ -225,6 +225,36 @@ def _q_kg_build_graph(spark, sf_dir):  # rows-only: full similarity-merge path
     )
 
 
+def _q_kg_merge_eval(spark, sf_dir):  # rows-only: J8 residual-duplicate metric
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.extract.embed import HashEmbedder
+    from itext2kg_spark.merge.evaluation import residual_duplicate_pairs
+    from itext2kg_spark.merge.kg import canonicalize_kg
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    from itext2kg_spark.sources.pages import synth_pages
+
+    n = 150 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
+    pipe = KGPipeline(ATOM)
+    q = pipe.quintuples_from_pages(synth_pages(spark, n, seed=11))
+    entities, _ = canonicalize_kg(q, ATOM, HashEmbedder())
+    return residual_duplicate_pairs(entities, threshold=0.75).select(
+        "id_a", "id_b"
+    )
+
+
+def _q_text_entities(spark, sf_dir):  # rows-only: E2 entity extraction
+    from itext2kg_spark.extract.entities import extract_entities
+    from itext2kg_spark.sources.pages import synth_pages
+
+    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
+    pages = synth_pages(spark, n, seed=7)
+    return extract_entities(pages.select("url", "text")).select(
+        "url", "name", "label"
+    )
+
+
 def _q_kg_grammar_pipeline(spark, sf_dir):  # rows-only: grammar + temporal path
     from itext2kg_spark.pipeline import KGPipeline
     from itext2kg_spark.sources.pages import synth_pages
@@ -250,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_counts": _q_kg_counts,
         "kg_build_graph": _q_kg_build_graph,
         "kg_grammar_pipeline": _q_kg_grammar_pipeline,
+        "kg_merge_eval": _q_kg_merge_eval,
+        "text_entities": _q_text_entities,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,

@@ -47,14 +47,16 @@ def _person(rng: np.random.Generator) -> str:
     if rng.random() < 0.25:  # near-dup variant: middle initial
         parts = name.split()
         name = f"{parts[0]} {_MIDDLE[rng.integers(len(_MIDDLE))]} {parts[1]}"
-    return name
+    # title-case like real web text; the engine's P1 normalization lowercases,
+    # so every parity/embedding path is unaffected
+    return name.title()
 
 
 def _org(rng: np.random.Generator) -> str:
     name = f"{_ORG_A[rng.integers(len(_ORG_A))]} {_ORG_B[rng.integers(len(_ORG_B))]}"
     if rng.random() < 0.25:  # near-dup variant: legal suffix
         name = f"{name} inc"
-    return name
+    return name.title()
 
 
 def _date_str(rng: np.random.Generator) -> str:
