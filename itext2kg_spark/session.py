@@ -43,7 +43,7 @@ def get_spark(
         # Arrow record batch = the "API batch" of the reference's LLM batching
         # (langchain_output_parser.py:168-221): extraction/embedding UDFs see
         # bounded batches.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # Size scan splits for CPU-heavy UDF stages, not for scan bytes: at
         # the default 128MB a compact pages table collapses to a handful of
         # splits and the distill/extract pandas stages run at parallelism ~2.
@@ -96,7 +96,7 @@ def get_spark_cluster(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
