@@ -95,6 +95,9 @@ class KGPipeline:
             return fused_quintuples(pages, self.extractor)
         distilled = distill_pages(pages)
         facts = split_atomic_facts(distilled)
+        # NB: extract_quintuples_vectorized is a row-identical alternative
+        # (pandas .str.extract, no per-row Python); A/B on this host was
+        # within noise, so the pluggable-extractor path stays the default.
         return extract_quintuples(facts, self.extractor)
 
     def token_quintuples_from_pages(self, pages: DataFrame) -> DataFrame:
