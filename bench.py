@@ -121,12 +121,13 @@ def _run_pinned(cores: int, path: str) -> float:
     """Run the scaling child pinned to `cores` CPUs (taskset bounds the JVM's
     helper threads and the Python workers too — local[n] alone does not cap
     actual CPU, the JVM borrows cores for GC/IO)."""
+    import shutil
     import subprocess
 
-    cmd = [
-        "taskset",
-        "-c",
-        f"0-{cores - 1}",
+    pin = (
+        ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
+    )
+    cmd = pin + [
         sys.executable,
         os.path.abspath(__file__),
         "--scaling-child",

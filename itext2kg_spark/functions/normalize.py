@@ -30,6 +30,16 @@ LABEL_PATTERN = r"[^a-zA-Z0-9]+"
 NAME_PATTERN = r"[_\"\-]+"
 LABEL_PATTERN_STAR = r"[^a-zA-Z0-9]"  # per-char, no run collapsing
 
+# Python str.strip() strips everything str.isspace() considers whitespace:
+# the Unicode White_Space property PLUS the information separators
+# \x1c-\x1f. Spark's trim() strips ASCII space only — found by the
+# hypothesis parity fuzzer on '\x1f'. This class reproduces Python exactly.
+_PYSTRIP = r"[\p{IsWhite_Space}\x1c-\x1f]"
+
+
+def _pystrip(col: Column) -> Column:
+    return F.regexp_replace(col, f"^{_PYSTRIP}+|{_PYSTRIP}+$", "")
+
 
 def norm_label(col: Column) -> Column:
     """ATOM label/predicate normalization: non-alnum runs -> '_', lowercase."""
@@ -38,7 +48,7 @@ def norm_label(col: Column) -> Column:
 
 def norm_name(col: Column) -> Column:
     """ATOM name normalization: lowercase, `[_"-]+` runs -> space, strip."""
-    return F.trim(F.regexp_replace(F.lower(col), NAME_PATTERN, " "))
+    return _pystrip(F.regexp_replace(F.lower(col), NAME_PATTERN, " "))
 
 
 # Relation names share the label rule (relationship.py:34-36).
@@ -52,7 +62,7 @@ def norm_label_star(col: Column) -> Column:
 
 def norm_name_star(col: Column) -> Column:
     """star/legacy name rule: lowercase; each `_`/`-`/`"` char -> one space."""
-    return F.trim(F.regexp_replace(F.lower(col), r"[_\"\-]", " "))
+    return _pystrip(F.regexp_replace(F.lower(col), r"[_\"\-]", " "))
 
 
 def sanitize_storage_label(col: Column) -> Column:

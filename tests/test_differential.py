@@ -87,6 +87,15 @@ def test_triple_pr_larger_batch(spark, ref):
     assert recall >= 0.95, f"recall {recall:.3f}"
 
 
+def test_triple_pr_large_batch(spark, ref):
+    """~1.2k facts — the scale where the reference's quadratic merge starts
+    to labor; P/R must hold as batch size grows."""
+    expected, got = _run_both(spark, ref, n_pages=400, seed=3)
+    precision, recall = pr(expected, got)
+    assert precision >= 0.95, f"precision {precision:.3f} (n_ref={len(expected)})"
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
 def test_entity_sets_close(spark, ref):
     """Entity canonical sets agree within the same budget."""
     pipe = KGPipeline()
