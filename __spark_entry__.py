@@ -190,6 +190,14 @@ def _q_ann_lsh(spark, sf_dir):  # rows-only (approximate by construction)
     return ann_topk_lsh(queries, vecs, k=5)
 
 
+def _q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
+    from itext2kg_spark.similarity.ann import ann_topk_ivf
+
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 20)
+    return ann_topk_ivf(queries, vecs, k=5, n_cells=16, n_probe=4)
+
+
 def _q_text_stats(spark, sf_dir):
     from itext2kg_spark.functions.text import text_stats
 
@@ -289,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,

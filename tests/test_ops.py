@@ -170,3 +170,20 @@ def test_multimodal_plumbing(spark):
     # the real decode path is explicitly stubbed
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00")
+
+
+def test_ann_ivf_recall(spark):
+    from itext2kg_spark.similarity.ann import ann_topk_bruteforce, ann_topk_ivf
+
+    emb = HashEmbedder(32, 9)
+    texts = [f"doc {i} topic {i % 6} cluster token{i % 6}" for i in range(120)]
+    mat = emb(texts)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(120)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = vecs.where(F.col("vec_id") < 6)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             ann_topk_bruteforce(q, vecs, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in
+           ann_topk_ivf(q, vecs, k=5, n_cells=8, n_probe=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
