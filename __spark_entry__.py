@@ -18,6 +18,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers of WHATEVER session the
+    driver created (its workers may not have /root/repo on PYTHONPATH;
+    addPyFile distributes a zip exactly like spark-submit --py-files)."""
+    import os
+    import zipfile
+
+    sc = spark.sparkContext
+    done = getattr(_ensure_workers_can_import, "_done", set())
+    key = id(sc)
+    if key in done:
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(root, "itext2kg_spark")
+    zpath = os.path.join("/tmp", "itext2kg_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already registered in this context
+    done.add(key)
+    _ensure_workers_can_import._done = done
+
+
+def _wrap(fn):
+    def inner(spark, sf_dir):
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return inner
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -32,6 +69,7 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Canonical KG edges for one batch of pages built from sf0.001 docs."""
+    _ensure_workers_can_import(spark)
     from itext2kg_spark.config import ATOM
     from itext2kg_spark.extract.embed import HashEmbedder
     from itext2kg_spark.merge.kg import canonicalize_kg
@@ -280,7 +318,7 @@ def _q_kg_grammar_pipeline(spark, sf_dir):  # rows-only: grammar + temporal path
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(v) for k, v in {
         "kg_token_quintuples": _q_kg_token_quintuples,
         "kg_entities": _q_kg_entities,
         "kg_exact_merge_edges": _q_kg_exact_merge_edges,
@@ -301,7 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
-    }
+    }.items()}
 
 
 # ---------------------------------------------------------------------------
