@@ -33,6 +33,10 @@ class MatchConfig:
     candidate_method: str = "auto"
     # Above this many distinct items per side, "auto" switches to LSH.
     broadcast_limit: int = 100_000
+    # Byte ceiling for driver-collected embedding matrices: the row limit
+    # alone ignores vector width (100k rows x 1536 dims x 8B is ~1.2 GB).
+    # Effective limit = min(broadcast_limit, broadcast_limit_bytes/(dim*8)).
+    broadcast_limit_bytes: int = 256 * 1024 * 1024
     # LSH shape: `lsh_rows` sign-bits per band, `lsh_bands` bands. Recall for
     # cosine θ: 1 - (1 - p^rows)^bands with p = 1 - arccos(θ)/π.
     # (6, 24) gives ≥0.997 recall at θ=0.7 and ≥0.9996 at θ=0.8.
@@ -42,6 +46,22 @@ class MatchConfig:
     # Connected-components iteration cap (each iteration does neighbor-min +
     # pointer-jumping, so convergence is O(log diameter)).
     cc_max_iter: int = 25
+    # Exclude store rows exactly matched by a batch key from the cosine pool
+    # (matcher.py:53-63 unmatched_entities2). OFF by default: the reference
+    # merges a batch INTERNALLY before merging with the store, so a batch
+    # near-duplicate of store row R collapses onto R's surface form in that
+    # internal pass — which the exclusion would forbid in our single-pass
+    # formulation, making batch re-merge non-idempotent (replaying a batch
+    # would mint new entities). Turn on only for parity with a DIRECT
+    # two-canonical-KG merge, where both sides are already internally merged.
+    exclude_exact_matched_store: bool = False
+
+    def effective_broadcast_limit(self, emb_dim: int | None = None) -> int:
+        """Row limit for driver-side paths, byte-bounded when the vector
+        width is known (float64 matrix on the driver)."""
+        if not emb_dim:
+            return self.broadcast_limit
+        return min(self.broadcast_limit, self.broadcast_limit_bytes // (emb_dim * 8))
 
 
 @dataclass(frozen=True)

@@ -138,15 +138,17 @@ def candidate_pairs(
     emb_col: str = "emb",
     id_col: str = "id",
     n_items: int | None = None,
+    emb_dim: int | None = None,
 ) -> DataFrame:
     """items(id, emb[, is_existing]) -> (id_a, id_b, sim), id_a < id_b.
 
-    `emb` must be unit-normalized (cosine == dot).
+    `emb` must be unit-normalized (cosine == dot). `emb_dim` byte-bounds the
+    broadcast path and saves the LSH path a dim-probing job.
     """
     method = cfg.candidate_method
     if method == "auto":
         n = n_items if n_items is not None else items.count()
-        method = "broadcast" if n <= cfg.broadcast_limit else "lsh"
+        method = "broadcast" if n <= cfg.effective_broadcast_limit(emb_dim) else "lsh"
 
     has_existing = "is_existing" in items.columns
 
@@ -166,9 +168,11 @@ def candidate_pairs(
     if has_existing:
         gate = ~(F.col("is_existing_a") & F.col("is_existing_b"))
     sim = pair_cosine(F.col(f"{emb_col}_a"), F.col(f"{emb_col}_b"))
-    # embedding dim read from one row (the schema doesn't carry it)
-    first = items.select(F.size(emb_col).alias("d")).first()
-    dim = int(first["d"]) if first else 2
+    if emb_dim:
+        dim = emb_dim
+    else:  # embedding dim read from one row (the schema doesn't carry it)
+        first = items.select(F.size(emb_col).alias("d")).first()
+        dim = int(first["d"]) if first else 2
     sigs = lsh_signatures_udf(dim, cfg.lsh_rows, cfg.lsh_bands, cfg.lsh_seed)
     sig_items = items.select(*sel, F.explode(sigs(F.col(emb_col))).alias("sig"))
     a = sig_items.select(*[F.col(c).alias(f"{c}_a") for c in sel], F.col("sig"))

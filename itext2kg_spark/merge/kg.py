@@ -149,11 +149,27 @@ def canonicalize_kg(
             )
             # batch rows that exactly equal a store row are dropped in favor
             # of the store row (exact-match pre-pass, matcher.py:41-63)
-            ents = ex.unionByName(
-                ents.join(
-                    ex.select("name", "label"), ["name", "label"], "left_anti"
+            if cfg.match.exclude_exact_matched_store:
+                # direct two-KG-merge parity (see MatchConfig): the claimed
+                # store row leaves the cosine pool entirely
+                # (unmatched_entities2, matcher.py:53-63)
+                batch_keys = ents.select("name", "label").withColumn(
+                    "exact_hit", F.lit(True)
                 )
-            )
+                ex = ex.join(batch_keys, ["name", "label"], "left").withColumn(
+                    "exact_hit", F.coalesce(F.col("exact_hit"), F.lit(False))
+                )
+                ents = ex.unionByName(
+                    ents.join(
+                        ex.select("name", "label"), ["name", "label"], "left_anti"
+                    ).withColumn("exact_hit", F.lit(False))
+                )
+            else:
+                ents = ex.unionByName(
+                    ents.join(
+                        ex.select("name", "label"), ["name", "label"], "left_anti"
+                    )
+                )
         # checkpoint the tiny distinct table BEFORE embedding: the embed
         # join-back references it twice, and without this each branch
         # recomputes the full mention groupBy
@@ -168,6 +184,7 @@ def canonicalize_kg(
             key_cols=["name", "label"],
             emb_col="emb",
             order_col="first_seen",
+            emb_dim=cfg.embed.dim,
         )
 
     def _resolve_predicates():
@@ -201,6 +218,7 @@ def canonicalize_kg(
             key_cols=["pred"],
             emb_col="emb",
             order_col="first_seen",
+            emb_dim=cfg.embed.dim,
         )
 
     # Entity and predicate resolution are independent chains of small jobs

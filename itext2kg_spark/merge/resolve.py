@@ -50,6 +50,7 @@ def _driver_resolve(
     inclusive: bool,
     has_existing: bool,
     order_col: str | None,
+    has_exact_hit: bool = False,
 ):
     """numpy/union-find resolution over collected rows; returns list of
     (key..., comp, is_rep, canon_key...) tuples."""
@@ -63,17 +64,35 @@ def _driver_resolve(
         if has_existing
         else np.zeros(n, dtype=bool)
     )
+    hit = (
+        np.asarray([bool(r["exact_hit"]) for r in rows])
+        if has_exact_hit
+        else np.zeros(n, dtype=bool)
+    )
 
     sims = mat @ mat.T
     np.fill_diagonal(sims, -np.inf)
     ok = sims >= threshold if inclusive else sims > threshold
     if has_existing:
         ok &= ~(exist[:, None] & exist[None, :])
+    if has_exact_hit:
+        # store rows already claimed by an exact batch match leave the cosine
+        # pool entirely (matcher.py:53-63 unmatched_entities2): they can be
+        # neither source nor target of a similarity link.
+        ok &= ~hit[:, None]
+        ok &= ~hit[None, :]
     sims_masked = np.where(ok, sims, -np.inf)
     # best-match link per item (argmax with min-index tie-break, like the
     # window orderBy sim desc, id asc in the distributed path)
     best = sims_masked.argmax(axis=1)
     linked = sims_masked[np.arange(n), best] > -np.inf
+    if has_existing:
+        # Links originate ONLY from batch rows: the reference computes argmax
+        # for entities1 (batch) against entities2 (store), never the reverse
+        # (matcher.py:65-94). A store row originating its own best-match link
+        # could bridge two store entities through one batch entity, demoting a
+        # store row and corrupting the incremental store.
+        linked &= ~exist
     pairs = [(int(i), int(best[i])) for i in np.nonzero(linked)[0]]
 
     comp_map = _driver_union_find(pairs)
@@ -111,28 +130,47 @@ def resolve_items(
     emb_col: str = "emb",
     n_items: int | None = None,
     order_col: str | None = None,
+    emb_dim: int | None = None,
 ) -> DataFrame:
-    """items(key_cols..., emb [, is_existing][, order_col]) -> items +
-    (comp, is_rep) + canonical keys `canon_<key>`.
+    """items(key_cols..., emb [, is_existing][, exact_hit][, order_col]) ->
+    items + (comp, is_rep) + canonical keys `canon_<key>`.
 
     `emb` must be unit-normalized. Items cluster when connected through
     best-match links at cosine >= threshold (ATOM) / > threshold (star).
+    Optional flag columns:
+      * `is_existing` — canonical-store rows; they never ORIGINATE links
+        (reference argmax runs batch-against-store only, matcher.py:65-94),
+        so a component contains at most one store entity and store rows
+        always canonicalize to themselves.
+      * `exact_hit` — store rows exactly matched by a batch key this batch;
+        excluded from the cosine pool entirely (matcher.py:53-63).
+    `emb_dim` (vector width) byte-bounds the driver-collect path — without it
+    the limit is row-count-only.
     """
     has_existing = "is_existing" in items.columns
+    has_exact_hit = "exact_hit" in items.columns
     spark = items.sparkSession
 
     if n_items is None:
         n_items = items.count()
 
-    if n_items <= cfg.broadcast_limit:
+    if n_items <= cfg.effective_broadcast_limit(emb_dim):
         sel = key_cols + [F.col(emb_col).alias("emb")]
         if has_existing:
             sel.append("is_existing")
+        if has_exact_hit:
+            sel.append("exact_hit")
         if order_col:
             sel.append(order_col)
         rows = items.select(*sel).collect()
         resolved = _driver_resolve(
-            rows, key_cols, threshold, cfg.inclusive, has_existing, order_col
+            rows,
+            key_cols,
+            threshold,
+            cfg.inclusive,
+            has_existing,
+            order_col,
+            has_exact_hit=has_exact_hit,
         )
         key_schema = items.select(*key_cols).schema
         fields = (
@@ -152,8 +190,19 @@ def resolve_items(
     # ---- distributed path ----------------------------------------------------
     with_id = items.withColumn("id", F.xxhash64(*key_cols)).localCheckpoint()
 
+    # exact-hit store rows are out of the cosine pool entirely (they still
+    # appear in the output, mapping to themselves via the left join below)
+    cand_input = (
+        with_id.where(~F.col("exact_hit")) if has_exact_hit else with_id
+    )
     pairs = candidate_pairs(
-        with_id, cfg, threshold, emb_col=emb_col, id_col="id", n_items=n_items
+        cand_input,
+        cfg,
+        threshold,
+        emb_col=emb_col,
+        id_col="id",
+        n_items=n_items,
+        emb_dim=emb_dim,
     )
     if cfg.link_mode == "best":
         # Keep only each node's single best-scoring link (argmax parity with
@@ -165,6 +214,14 @@ def resolve_items(
         ).union(
             pairs.select(F.col("id_b").alias("v"), F.col("id_a").alias("w"), "sim")
         )
+        if has_existing:
+            # links originate only from batch rows (see _driver_resolve):
+            # store rows keep in-degree but never out-degree, so no two store
+            # rows can land in one component.
+            nonexist = with_id.where(~F.col("is_existing")).select(
+                F.col("id").alias("v")
+            )
+            directed = directed.join(nonexist, "v", "left_semi")
         wbest = Window.partitionBy("v").orderBy(F.col("sim").desc(), F.col("w").asc())
         pairs = (
             directed.withColumn("__rn", F.row_number().over(wbest))
