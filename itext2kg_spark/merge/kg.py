@@ -41,7 +41,10 @@ from pyspark.sql import functions as F
 from itext2kg_spark.config import PipelineConfig
 from itext2kg_spark.extract.embed import with_embedding
 from itext2kg_spark.functions.normalize import norm_label, norm_name, norm_predicate
-from itext2kg_spark.functions.timeparse import parse_timestamp_array
+from itext2kg_spark.functions.timeparse import (
+    parse_timestamp_array,
+    parse_timestamp_array_columns,
+)
 from itext2kg_spark.functions.vectors import unit
 from itext2kg_spark.merge.resolve import resolve_items
 
@@ -251,7 +254,17 @@ def canonicalize_kg(
         F.col("canon_name").alias("dst_name"),
         F.col("canon_label").alias("dst_label"),
     )
-    mentions = (
+    # P4: t_start/t_end string arrays -> epoch arrays with dateutil fallback
+    # (relationship.py:44-57 parity, incl. fuzzy forms). Only this consumer
+    # reads the temporal columns, so the parse lives here:
+    #  * materialized mode — clean/dirty row split (parse_timestamp_array_
+    #    columns): the all-fast-path majority keeps a pure-JVM plan; only
+    #    rows with a Catalyst-unparseable element flow through dateutil. The
+    #    two branches re-scan checkpointed rows via broadcast joins (cheap).
+    #  * no-materialize mode — the split would re-run the extractor once per
+    #    branch, so the row-gated single-pass UDF is used instead (this
+    #    mode's lineage is Python mapInPandas stages anyway).
+    mentions_raw = (
         q.join(F.broadcast(sm), ["subj_name", "subj_label"])
         .join(F.broadcast(om), ["obj_name", "obj_label"])
         .join(F.broadcast(pred_map), ["pred"])
@@ -262,11 +275,19 @@ def canonicalize_kg(
             "dst_name",
             "dst_label",
             F.array(F.col("obs_ts").cast("double")).alias("t_obs"),
-            parse_timestamp_array(F.col("t_start")).alias("t_start"),
-            parse_timestamp_array(F.col("t_end")).alias("t_end"),
+            "t_start",
+            "t_end",
             F.array(F.col("fact")).alias("atomic_facts"),
         )
     )
+    if cfg.materialize_quintuples:
+        mentions = parse_timestamp_array_columns(
+            mentions_raw, ["t_start", "t_end"]
+        )
+    else:
+        mentions = mentions_raw.withColumn(
+            "t_start", parse_timestamp_array(F.col("t_start"))
+        ).withColumn("t_end", parse_timestamp_array(F.col("t_end")))
     if existing_edges is not None:
         mentions = mentions.unionByName(
             existing_edges.select(*EDGE_GROUP_KEYS, *EDGE_LIST_COLS)

@@ -61,8 +61,19 @@ def _org(rng: np.random.Generator) -> str:
 
 def _date_str(rng: np.random.Generator) -> str:
     d = _BASE + timedelta(days=int(rng.integers(0, 700)))
-    if rng.random() < 0.2:  # exercise the non-ISO fast-parse format
+    r = rng.random()
+    if r < 0.2:  # non-ISO fast-parse format
         return d.strftime("%B") + f" {d.day} {d.year}"
+    if r < 0.3:  # dateutil-only: ordinal day ("July 17th, 2025")
+        day = d.day
+        suf = (
+            "th"
+            if 10 <= day % 100 <= 20
+            else {1: "st", 2: "nd", 3: "rd"}.get(day % 10, "th")
+        )
+        return d.strftime("%B") + f" {day}{suf}, {d.year}"
+    if r < 0.4:  # dateutil-only: dotted form ("17.07.2025")
+        return f"{d.day:02d}.{d.month:02d}.{d.year}"
     return d.strftime("%Y-%m-%d")
 
 

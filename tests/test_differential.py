@@ -96,6 +96,57 @@ def test_triple_pr_large_batch(spark, ref):
     assert recall >= 0.95, f"recall {recall:.3f}"
 
 
+def test_temporal_lists_match_reference(spark, ref):
+    """t_start/t_end parity as multisets (A4 note: our lists are array_sort'ed,
+    the reference's keep merge order): for triples both systems emit, the
+    parsed epoch multisets must agree — including the dateutil-only fuzzy
+    forms synth_pages now emits ("July 17th, 2025", "17.07.2025"), which the
+    pre-round-2 fast-path-only array parser silently dropped."""
+    from collections import Counter
+
+    pipe = KGPipeline()
+    pages = synth_pages(spark, 60, seed=21)
+    quints = pipe.quintuples_from_pages(pages).localCheckpoint()
+    fact_rows = _collect_fact_rows(quints)
+    # the corpus must actually exercise the fuzzy formats
+    assert any(
+        any("," in t or "." in t for q in quints_ for t in q["t_start"] + q["t_end"])
+        for _, _, quints_ in fact_rows
+    )
+    ref_kg = reference_build_kg(ref, fact_rows)
+    _, edges = canonicalize_kg(quints, pipe.cfg, pipe.embedder)
+
+    def key(s, sl, p, o, ol):
+        return (s, sl, p, o, ol)
+
+    ref_times = {}
+    for r in ref_kg.relationships:
+        k = key(r.startEntity.name, r.startEntity.label, r.name,
+                r.endEntity.name, r.endEntity.label)
+        ref_times[k] = (
+            Counter(round(x, 3) for x in r.properties.t_start),
+            Counter(round(x, 3) for x in r.properties.t_end),
+        )
+    rows = edges.select(
+        "src_name", "src_label", "pred", "dst_name", "dst_label",
+        "t_start", "t_end",
+    ).collect()
+    common = mismatched = 0
+    for r in rows:
+        k = key(r["src_name"], r["src_label"], r["pred"], r["dst_name"], r["dst_label"])
+        if k not in ref_times:
+            continue
+        common += 1
+        got = (
+            Counter(round(x, 3) for x in (r["t_start"] or [])),
+            Counter(round(x, 3) for x in (r["t_end"] or [])),
+        )
+        if got != ref_times[k]:
+            mismatched += 1
+    assert common > 20
+    assert mismatched / common <= 0.05, f"{mismatched}/{common} temporal mismatches"
+
+
 def test_entity_sets_close(spark, ref):
     """Entity canonical sets agree within the same budget."""
     pipe = KGPipeline()

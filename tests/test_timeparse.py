@@ -49,3 +49,34 @@ def test_array_parse_drops_unparseable(spark):
     assert len(row["p"]) == 2
     assert row["p"][0] == _dateutil_utc("2025-01-01")
     assert row["p"][1] == _dateutil_utc("July 17 2025")
+
+
+def test_array_parse_fuzzy_matches_dateutil(spark):
+    """Fuzzy forms the Catalyst fast path can't parse must fall back to
+    dateutil instead of being silently dropped (reference combine_timestamps,
+    relationship.py:44-57, parses them); order preserved, garbage skipped."""
+    arrays = [
+        ["July 17th, 2025", "17.07.2025"],          # both dateutil-only
+        ["2025-01-01", "July 17th, 2025", "nope"],  # mixed fast/fuzzy/garbage
+        ["2025-01-01", "2025-02-02"],               # pure fast path (no UDF rows)
+        [],
+        None,
+    ]
+    df = spark.createDataFrame([(a,) for a in arrays], "a array<string>")
+    got = [
+        r["p"]
+        for r in df.select(parse_timestamp_array(F.col("a")).alias("p")).collect()
+    ]
+    expected = [
+        None if a is None else [e for e in map(_dateutil_utc, a) if e is not None]
+        for a in arrays
+    ]
+    assert got == expected
+
+
+def test_array_parse_no_fallback_flag(spark):
+    df = spark.createDataFrame([(["July 17th, 2025", "2025-01-01"],)], ["a"])
+    row = df.select(
+        parse_timestamp_array(F.col("a"), use_dateutil_fallback=False).alias("p")
+    ).collect()[0]
+    assert row["p"] == [_dateutil_utc("2025-01-01")]
