@@ -164,8 +164,9 @@ def extract_quintuples(facts: DataFrame, extractor=None) -> DataFrame:
 def extract_quintuples_vectorized(facts: DataFrame) -> DataFrame:
     """Vectorized grammar extraction: pandas .str.extract (C regex) over the
     whole Arrow batch, columnwise output — no per-row Python. Same rows as
-    `extract_quintuples(facts, GrammarExtractor())`; ~3-4x the extractor
-    throughput, used by default when the extractor is the built-in grammar.
+    `extract_quintuples(facts, GrammarExtractor())` (row-parity tested);
+    KGPipeline.quintuples_from_pages uses this path whenever the extractor is
+    the built-in GrammarExtractor.
 
     mapInPandas with flat columns: each grammar pattern is applied to the
     full batch Series, matched slices are emitted as column blocks.

@@ -95,9 +95,15 @@ class KGPipeline:
             return fused_quintuples(pages, self.extractor)
         distilled = distill_pages(pages)
         facts = split_atomic_facts(distilled)
-        # NB: extract_quintuples_vectorized is a row-identical alternative
-        # (pandas .str.extract, no per-row Python); A/B on this host was
-        # within noise, so the pluggable-extractor path stays the default.
+        if type(self.extractor) is GrammarExtractor:
+            # row-identical vectorized path (pandas .str.extract — C regex
+            # over the whole Arrow batch, no per-row Python loop); custom
+            # extractors keep the pluggable per-batch UDF below
+            from itext2kg_spark.extract.quintuples import (
+                extract_quintuples_vectorized,
+            )
+
+            return extract_quintuples_vectorized(facts)
         return extract_quintuples(facts, self.extractor)
 
     def token_quintuples_from_pages(self, pages: DataFrame) -> DataFrame:

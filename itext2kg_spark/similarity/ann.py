@@ -1,25 +1,33 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-* `ann_topk_bruteforce` — exact top-k by cosine: broadcast the (small) query
-  set against the corpus, score with a codegen'd zip_with dot product, rank
-  with a per-query window. The correctness baseline; linear scan of the
-  corpus, embarrassingly parallel, no shuffle except the final top-k.
+* `ann_topk_bruteforce` — exact top-k by cosine: the (small) query matrix is
+  broadcast as numpy and each corpus partition scores against it with ONE
+  BLAS matmul (`mapInPandas`), keeping a per-partition partial top-k per
+  query; a final window over the ~|Q|*k*partitions survivors picks the
+  global top-k. Linear scan, embarrassingly parallel, and the shuffle
+  carries |Q|*k*partitions rows — not |Q|*|C|.
 * `ann_topk_lsh` — the scale path: both sides get random-hyperplane band
   signatures (shared operator with entity resolution), candidates come from
   bucket equi-joins, exact cosine re-ranks within candidates. Sub-linear
   candidate volume; recall is tunable via (rows, bands).
 
-All cosine math is done in float64 after an explicit cast so results are
-bit-comparable with the DuckDB oracle.
+All cosine math is float64; candidate re-ranks score through the shared
+Arrow-vectorized einsum scorer (`merge.candidates.pair_cosine`) — Catalyst
+higher-order array functions are interpreted per element and ~100x slower
+than numpy on this path (see merge/candidates.py docstring).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from itext2kg_spark.functions.vectors import dot, unit
-from itext2kg_spark.merge.candidates import lsh_signatures_udf
+from itext2kg_spark.functions.vectors import unit
+from itext2kg_spark.merge.candidates import lsh_signatures_udf, pair_cosine
 
 
 def _prep(df: DataFrame, id_col: str, emb_col: str, alias: str) -> DataFrame:
@@ -40,17 +48,56 @@ def ann_topk_bruteforce(
     deterministic tie-break on neighbor id."""
     q = _prep(queries, id_col, emb_col, "query")
     c = _prep(corpus, id_col, emb_col, "neighbor")
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", dot(F.col("query_emb"), F.col("neighbor_emb")))
+    qrows = q.collect()
+    if not qrows:
+        return q.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, sim_10k long"
+        )
+    q_ids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.asarray(
+        [np.asarray(r["query_emb"], dtype=np.float64) for r in qrows]
+    )
+    bc = q.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            c_mat = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["neighbor_emb"]]
+            )
+            sims = c_mat @ mat_q.T  # (batch, Q) — one BLAS call
+            sims[c_ids[:, None] == ids_q[None, :]] = -np.inf  # self-match
+            # partial top-k per query under the GLOBAL ordering
+            # (sim desc, neighbor_id asc): the union of per-partition top-ks
+            # contains the global top-k, so the final window is exact
+            kk = min(k, len(c_ids))
+            order = np.lexsort(
+                (np.broadcast_to(c_ids[:, None], sims.shape), -sims), axis=0
+            )
+            top = order[:kk, :]  # (kk, Q) corpus-row index per query column
+            qcol = np.tile(np.arange(nq), kk)
+            rows = top.reshape(-1)
+            keep = np.isfinite(sims[rows, qcol])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[qcol[keep]],
+                    "neighbor_id": c_ids[rows[keep]],
+                    "sim": sims[rows[keep], qcol[keep]],
+                }
+            )
+
+    partial = c.mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
@@ -141,7 +188,7 @@ def ann_topk_ivf(
         q_cells.join(c_cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("sim", dot(F.col("query_emb"), F.col("neighbor_emb")))
+        .withColumn("sim", pair_cosine(F.col("query_emb"), F.col("neighbor_emb")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -183,7 +230,7 @@ def ann_topk_lsh(
         qs.join(cs, "sig")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("sim", dot(F.col("query_emb"), F.col("neighbor_emb")))
+        .withColumn("sim", pair_cosine(F.col("query_emb"), F.col("neighbor_emb")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
