@@ -236,6 +236,50 @@ def _q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
     return ann_topk_ivf(queries, vecs, k=5, n_cells=16, n_probe=4)
 
 
+def _q_kg_distill(spark, sf_dir):
+    """S2 structured distillation: article-layout docs -> user-schema struct
+    (real distill_structured + ArticleRuleExtractor over Arrow batches) ->
+    cross-document field-merge (lists extend / strings concat in doc order)."""
+    from itext2kg_spark.extract.distill_structured import (
+        ARTICLE_SCHEMA,
+        ArticleRuleExtractor,
+        combine_distilled,
+        distill_structured,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    art = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Title: doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" Authors: author"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" (org"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(") Abstract: "),
+            F.array_join(F.slice(toks, 1, 8), " "),
+        ).alias("text"),
+    )
+    d = distill_structured(art, ARTICLE_SCHEMA, ArticleRuleExtractor())
+    out = combine_distilled(
+        d, ARTICLE_SCHEMA, F.col("doc_id") % 40, order_col="doc_id"
+    )
+    return out.select(
+        F.col("group_id").cast("long").alias("group_id"),
+        "title",
+        F.array_join(
+            F.transform(
+                "authors", lambda a: F.concat(a["name"], F.lit(":"), a["affiliation"])
+            ),
+            ";",
+        ).alias("authors"),
+        "abstract",
+        "n_docs",
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     from itext2kg_spark.functions.text import text_stats
 
@@ -271,22 +315,62 @@ def _q_kg_build_graph(spark, sf_dir):  # rows-only: full similarity-merge path
     )
 
 
-def _q_kg_merge_eval(spark, sf_dir):  # rows-only: J8 residual-duplicate metric
+def _q_kg_merge_eval(spark, sf_dir):  # rows-only: J8 + published ER/RR metrics
+    """Full merge-quality row: residual-duplicate counts plus the published
+    ER/RR precision formulas (evaluate_itext2kg_merge.py:213-248, :520-560),
+    with ground-truth mention counts taken from the PRE-merge quintuple
+    table (every subj/obj mention, duplicates kept — the ground-truth
+    analog of the NYT quintuples)."""
     from itext2kg_spark.config import ATOM
     from itext2kg_spark.extract.embed import HashEmbedder
-    from itext2kg_spark.merge.evaluation import residual_duplicate_pairs
+    from itext2kg_spark.merge.evaluation import er_rr_precision
     from itext2kg_spark.merge.kg import canonicalize_kg
     from itext2kg_spark.pipeline import KGPipeline
-    from itext2kg_spark.sources.pages import pages_from_documents
-
     from itext2kg_spark.sources.pages import synth_pages
 
     n = 150 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
     pipe = KGPipeline(ATOM)
-    q = pipe.quintuples_from_pages(synth_pages(spark, n, seed=11))
-    entities, _ = canonicalize_kg(q, ATOM, HashEmbedder())
-    return residual_duplicate_pairs(entities, threshold=0.75).select(
-        "id_a", "id_b"
+    q = pipe.quintuples_from_pages(synth_pages(spark, n, seed=11)).localCheckpoint()
+    n_quint = q.count()
+    entities, edges = canonicalize_kg(q, ATOM, HashEmbedder())
+    return er_rr_precision(
+        entities,
+        edges,
+        HashEmbedder(),
+        gt_entity_mentions=2 * n_quint,
+        gt_relation_mentions=n_quint,
+        threshold=0.8,
+    )
+
+
+def _q_kg_er_metrics(spark, sf_dir):
+    """Oracle-checked ER/RR count arithmetic: the same er_rr_precision
+    operator over the embeddings table (one 'entity' per vector — cosine is
+    SQL-expressible there), with fixed synthetic ground-truth counts."""
+    from itext2kg_spark.extract.embed import HashEmbedder
+    from itext2kg_spark.merge.evaluation import er_rr_precision
+
+    vecs = _vecs(spark, sf_dir)
+    n = vecs.count()
+    ents = vecs.select(
+        F.col("vec_id").cast("string").alias("name"),
+        F.lit("v").alias("label"),
+        F.col("embedding"),
+    )
+    edges = vecs.limit(1).select(
+        F.lit("a").alias("src_name"),
+        F.lit("v").alias("src_label"),
+        F.lit("p").alias("pred"),
+        F.lit("b").alias("dst_name"),
+        F.lit("v").alias("dst_label"),
+    )
+    return er_rr_precision(
+        ents,
+        edges,
+        HashEmbedder(),
+        gt_entity_mentions=n + 100,
+        gt_relation_mentions=1,
+        threshold=0.45,
     )
 
 
@@ -324,9 +408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exact_merge_edges": _q_kg_exact_merge_edges,
         "kg_isolated_tokens": _q_kg_isolated_tokens,
         "kg_counts": _q_kg_counts,
+        "kg_distill": _q_kg_distill,
         "kg_build_graph": _q_kg_build_graph,
         "kg_grammar_pipeline": _q_kg_grammar_pipeline,
         "kg_merge_eval": _q_kg_merge_eval,
+        "kg_er_metrics": _q_kg_er_metrics,
         "text_entities": _q_text_entities,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
@@ -427,6 +513,47 @@ SELECT (SELECT count(*) FROM ents) AS n_entities,
        (SELECT count(*) FROM edges) AS n_edges,
        (SELECT count(DISTINCT {_nl('pred')}) FROM quint) AS n_preds
 """,
+        "kg_er_metrics": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM e),
+p AS (
+  SELECT count(*) AS pairs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.u, b.u) > 0.45
+)
+SELECT CAST(floor(greatest(0.0, least(1.0, 1.0 - pairs / 100.0)) * 10000) AS BIGINT)
+         AS er_precision_10k,
+       CAST(10000 AS BIGINT) AS rr_precision_10k,
+       n.n AS n_entities,
+       p.pairs AS residual_entity_pairs,
+       CAST(1 AS BIGINT) AS n_relations,
+       CAST(0 AS BIGINT) AS residual_relation_pairs,
+       n.n + 100 AS gt_entity_mentions,
+       CAST(1 AS BIGINT) AS gt_relation_mentions
+FROM n, p
+""",
+        "kg_distill": """
+WITH d AS (
+  SELECT doc_id, doc_id % 40 AS grp,
+         'doc ' || doc_id AS title,
+         'author' || (doc_id % 7) || ':org' || (doc_id % 3) AS author,
+         array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ')
+           AS abstract
+  FROM documents
+)
+SELECT grp AS group_id,
+       string_agg(title, ' ' ORDER BY doc_id) AS title,
+       string_agg(author, ';' ORDER BY doc_id) AS authors,
+       string_agg(abstract, ' ' ORDER BY doc_id)
+         FILTER (WHERE abstract <> '') AS abstract,
+       count(*) AS n_docs
+FROM d GROUP BY grp
+""",
         "dedup_exact": """
 SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_id
 FROM documents GROUP BY 1
@@ -523,11 +650,15 @@ _JACCARD_SQL = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
 ),
-g AS (
+g0 AS (
   SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS gram
   FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
         FROM t WHERE len(toks) >= 3)
 ),
+-- document-frequency cutoff (max_gram_df=1000, the engine's default hot-gram
+-- guard): grams above the cutoff leave the join AND the per-doc sizes
+gdf AS (SELECT gram, count(*) AS df FROM g0 GROUP BY gram),
+g AS (SELECT g0.id, g0.gram FROM g0 JOIN gdf USING (gram) WHERE df <= 1000),
 sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
 sh AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared

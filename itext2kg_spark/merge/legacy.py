@@ -58,6 +58,12 @@ def snap_endpoints(
 
     if miss.isEmpty():
         return hit
+    if allowed_names.isEmpty():
+        # no allowed entities at all: keep every endpoint as itself (the
+        # reference keeps a hallucinated endpoint when nothing scores above
+        # threshold; with an empty allow list the cross join below would
+        # silently DROP all miss rows instead)
+        return hit.unionByName(miss.withColumn("snapped_name", F.col(name_col)))
 
     miss_emb = with_embedding(miss, name_col, "__e", embedder).withColumn(
         "__e", unit(F.col("__e"))
@@ -83,6 +89,40 @@ def snap_endpoints(
         .drop("__rn", "__sim", "__allowed", "__a", "__e")
     )
     return hit.unionByName(best)
+
+
+def repair_isolated_entities(
+    entities: DataFrame,
+    edges: DataFrame,
+    extract_fn,
+    max_tries: int = 3,
+) -> tuple[DataFrame, dict]:
+    """E4: bounded repair loop for entities with no incident edge
+    (reference `extract_verify_and_correct_relations`,
+    irelations_extractor.py:163-216 — re-prompt the extractor on the
+    isolated subset ≤ `max_tries_isolated_entities` times, folding any new
+    relations into the curated set).
+
+    `extract_fn(isolated_entities_df) -> edges_df` is the re-extraction
+    round (the LLM re-prompt; a deterministic extractor in tests). Like the
+    reference (:212), the next round's isolation check runs against the
+    edges produced by THAT round — an entity linked in any round leaves the
+    loop. Returns (edges ∪ repaired, metrics) where metrics carries the
+    dropped-entity count the reference only logs.
+    """
+    metrics = {"tries": 0, "isolated_initial": 0, "isolated_remaining": 0}
+    isolated = find_isolated_entities(entities, edges).localCheckpoint()
+    metrics["isolated_initial"] = isolated.count()
+    while metrics["tries"] < max_tries and not isolated.isEmpty():
+        new_edges = extract_fn(isolated)
+        if new_edges is None:
+            break
+        new_edges = new_edges.localCheckpoint()
+        edges = edges.unionByName(new_edges)
+        isolated = find_isolated_entities(isolated, new_edges).localCheckpoint()
+        metrics["tries"] += 1
+    metrics["isolated_remaining"] = isolated.count()
+    return edges, metrics
 
 
 def find_isolated_entities(entities: DataFrame, edges: DataFrame) -> DataFrame:

@@ -22,7 +22,9 @@ def _shim_sklearn():
     if "sklearn.metrics.pairwise" in sys.modules:
         return
 
-    def cosine_similarity(A, B):
+    def cosine_similarity(A, B=None):
+        if B is None:
+            B = A
         A = np.asarray(A, dtype=np.float64)
         B = np.asarray(B, dtype=np.float64)
         An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
@@ -108,3 +110,55 @@ def get_reference():
     if _REF is None:
         _REF = load_reference()
     return _REF
+
+
+def load_reference_merge_eval():
+    """Load the published merge-eval module (ER/RR precision formulas,
+    evaluation/merge/evaluate_itext2kg_merge.py) with its API-only imports
+    stubbed; returns the module or None."""
+    try:
+        _shim_sklearn()
+        if "langchain_openai" not in sys.modules:
+            stub = types.ModuleType("langchain_openai")
+
+            class OpenAIEmbeddings:  # never instantiated by the functions we call
+                def __init__(self, *a, **k):
+                    pass
+
+            stub.OpenAIEmbeddings = OpenAIEmbeddings
+            sys.modules["langchain_openai"] = stub
+        return _load(
+            "ref_evaluate_itext2kg_merge",
+            "/root/reference/evaluation/merge/evaluate_itext2kg_merge.py",
+        )
+    except Exception:  # pragma: no cover
+        return None
+
+
+def load_reference_distiller():
+    """Load the reference DocumentsDistiller class (its combine logic needs
+    no LLM — the langchain parser import is stubbed), or None."""
+    try:
+        for pkg in ("itext2kg", "itext2kg.llm_output_parsing",
+                    "itext2kg.documents_distiller"):
+            if pkg not in sys.modules:
+                m = types.ModuleType(pkg)
+                m.__path__ = []
+                sys.modules[pkg] = m
+        lop = "itext2kg.llm_output_parsing.langchain_output_parser"
+        if lop not in sys.modules:
+            stub = types.ModuleType(lop)
+
+            class LangchainOutputParser:  # constructor-only stub
+                def __init__(self, *a, **k):
+                    pass
+
+            stub.LangchainOutputParser = LangchainOutputParser
+            sys.modules[lop] = stub
+        dd = _load(
+            "itext2kg.documents_distiller.documents_distiller",
+            f"{REF}/documents_distiller/documents_distiller.py",
+        )
+        return dd.DocumentsDistiller
+    except Exception:  # pragma: no cover
+        return None
