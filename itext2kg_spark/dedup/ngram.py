@@ -38,10 +38,17 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_gram_df: int | None = None,
+    max_gram_df: int | None = 1000,
     grams: DataFrame | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard_10k) for pairs with n-gram Jaccard >= threshold."""
+    """(id_a, id_b, jaccard_10k) for pairs with n-gram Jaccard >= threshold.
+
+    `max_gram_df` is ON by default: a gram shared by d documents expands to
+    d*(d-1)/2 candidate pairs, so one boilerplate gram across 1M pages is
+    ~5e11 rows — the one way this equi-join formulation goes quadratic at web
+    scale. Grams above the document-frequency cutoff are dropped BEFORE the
+    self-join (and excluded from |A|/|B| so Jaccard stays consistent); pass
+    None to disable for exact-parity runs."""
     g = grams if grams is not None else word_ngrams(docs, n, text_col, id_col)
     if max_gram_df is not None:
         df_counts = g.groupBy("gram").agg(F.count("*").alias("__df"))

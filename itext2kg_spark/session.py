@@ -17,7 +17,12 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """`master=None` (default) respects a master already supplied via
+    spark-submit / SparkConf — local[cores] is only the fallback when none is
+    configured, so `spark-submit --master yarn ... run_batch.py` actually
+    runs on the cluster instead of silently dropping to single-JVM local."""
     # Make the engine importable in Spark's Python workers regardless of the
     # caller's cwd (local-mode workers resolve modules via PYTHONPATH, not the
     # driver's sys.path; on a cluster spark-submit --py-files does this job).
@@ -32,10 +37,21 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    if master is None:
+        from pyspark import SparkConf
+
+        try:
+            # spark-submit injects spark.master into the JVM conf; only fall
+            # back to local mode when nothing is configured
+            if not SparkConf(loadDefaults=True).contains("spark.master"):
+                master = f"local[{cores}]"
+        except Exception:
+            master = f"local[{cores}]"
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -95,8 +95,13 @@ class EmbeddingCache:
         else:
             hits = None
             misses = distinct
-        new = misses.withColumn("embedding", embedder.udf()(F.col("text")))
+        # materialize the misses once: isEmpty + write + the returned union
+        # all read the checkpointed rows instead of re-running the embedder /
+        # re-reading the whole cache (round-1 version did 2 extra actions and
+        # a full cache re-read per call)
+        new = misses.withColumn(
+            "embedding", embedder.udf()(F.col("text"))
+        ).localCheckpoint()
         if not new.isEmpty():
             new.write.mode("append").parquet(self.path)
-        out = self._load(spark)
-        return distinct.join(out, "text", "inner")
+        return new if hits is None else hits.unionByName(new)

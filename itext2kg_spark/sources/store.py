@@ -99,3 +99,20 @@ class KGStore:
     def snapshot_metrics(self, batch_id: int) -> dict:
         with open(os.path.join(self._snap_dir(batch_id), "_COMMITTED")) as f:
             return json.load(f)
+
+    # ---- streaming high-water mark ------------------------------------------
+    def last_stream_epoch(self, stream_key: str) -> int | None:
+        """Highest stream epoch committed for `stream_key` (a checkpoint-dir
+        identity). Stored inside each snapshot's _COMMITTED metadata, so the
+        epoch mark commits atomically with the snapshot itself — a crash
+        between data write and marker write can only ever REPLAY a batch,
+        never skip one, and replays are filtered by this watermark. Kept
+        separate from the snapshot batch id: epoch ids restart at 0 with a
+        fresh checkpoint dir, while batch ids are store-monotonic."""
+        best: int | None = None
+        for b in self.committed_batches():
+            meta = self.snapshot_metrics(b).get("metrics", {})
+            if meta.get("stream_key") == stream_key:
+                e = int(meta.get("stream_epoch", -1))
+                best = e if best is None else max(best, e)
+        return best

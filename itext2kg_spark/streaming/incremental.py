@@ -11,8 +11,13 @@ ordered batch loop IS the stream semantics).
 
 On a cluster the sink is Iceberg MERGE INTO per micro-batch; here the
 KGStore parquet-snapshot contract stands in. Exactly-once: foreachBatch can
-replay a batch after failure — `run_stream_batch` makes the commit idempotent
-by skipping batch ids at-or-below the store's last committed id.
+replay a micro-batch after failure — `run_stream_batch` skips epochs at or
+below the store's per-stream high-water mark. The stream epoch is tracked
+SEPARATELY from the snapshot batch id and keyed by the checkpoint location:
+epoch ids restart at 0 when a stream gets a fresh checkpoint dir, and a
+store pre-populated by batch `run_batch` calls has committed batch ids that
+say nothing about stream progress — conflating the two (round 1) silently
+dropped the first N micro-batches of a new stream as "replays".
 """
 
 from __future__ import annotations
@@ -37,9 +42,10 @@ def incremental_kg_stream(
     `spark.readStream.schema(PAGES_SCHEMA).parquet(dir)`.
     """
     pipe = pipeline or KGPipeline()
+    stream_key = checkpoint_dir or "default"
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        run_stream_batch(batch_df, epoch_id, store, pipe)
+        run_stream_batch(batch_df, epoch_id, store, pipe, stream_key=stream_key)
 
     writer = pages_stream.writeStream.foreachBatch(process)
     if checkpoint_dir:
@@ -50,12 +56,21 @@ def incremental_kg_stream(
 
 
 def run_stream_batch(
-    batch_df: DataFrame, epoch_id: int, store: KGStore, pipe: KGPipeline
+    batch_df: DataFrame,
+    epoch_id: int,
+    store: KGStore,
+    pipe: KGPipeline,
+    stream_key: str = "default",
 ) -> bool:
-    """Idempotent micro-batch merge; returns True if the batch was applied."""
-    last = store.last_committed()
+    """Idempotent micro-batch merge; returns True if the batch was applied.
+
+    `stream_key` identifies the stream's checkpoint location; the replay
+    filter compares epoch_id against that key's own high-water mark, never
+    against snapshot batch ids (see module docstring). Snapshot ids come
+    from store.next_batch_id() like every batch commit."""
+    last = store.last_stream_epoch(stream_key)
     if last is not None and epoch_id <= last:
-        return False  # replayed batch after restart — already merged
+        return False  # replayed micro-batch after restart — already merged
     if batch_df.isEmpty():
         return False
     spark = batch_df.sparkSession
@@ -63,6 +78,9 @@ def run_stream_batch(
     ents_prev, edges_prev = existing if existing else (None, None)
     entities, edges = pipe.build_graph(batch_df, ents_prev, edges_prev)
     store.write_snapshot(
-        int(epoch_id), entities, edges, metrics={"epoch_id": int(epoch_id)}
+        store.next_batch_id(),
+        entities,
+        edges,
+        metrics={"stream_key": stream_key, "stream_epoch": int(epoch_id)},
     )
     return True

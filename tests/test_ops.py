@@ -53,6 +53,20 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert all(3 not in p and 4 not in p for p in pairs)
 
 
+def test_ngram_hot_gram_cutoff(spark):
+    """max_gram_df drops boilerplate grams BEFORE the self-join: a gram
+    shared by every doc would otherwise expand to n^2/2 candidate pairs at
+    web scale. With the cutoff below the corpus size, docs related only
+    through the hot gram produce no pair."""
+    hot = "all rights reserved"  # one shared boilerplate 3-gram
+    rows = [(i, f"unique{i} article{i} body{i} " + hot) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_cut = jaccard_pairs(docs, threshold=0.1, max_gram_df=3).collect()
+    assert with_cut == []
+    without = jaccard_pairs(docs, threshold=0.1, max_gram_df=None).collect()
+    assert len(without) == 15  # all C(6,2) pairs share the hot gram
+
+
 def test_minhash_matches_exact_jaccard(spark, docs):
     exact = {
         (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.8).collect()

@@ -52,3 +52,37 @@ def test_stream_batch_idempotent_replay(spark, tmp_path):
     # empty next batch: no-op, nothing committed
     empty = pages.limit(0)
     assert run_stream_batch(empty, 1, store, pipe) is False
+
+
+def test_stream_epochs_independent_of_batch_ids(spark, tmp_path):
+    """Round-1 regression: the replay filter compared epoch_id against
+    snapshot BATCH ids, so (a) a stream attached to a store pre-populated by
+    run_batch dropped its first N micro-batches, and (b) a stream restarted
+    with a fresh checkpoint dir (epoch reset to 0) dropped everything below
+    the old mark. Epochs are now tracked per stream_key."""
+    store = KGStore(str(tmp_path / "kg3"))
+    pipe = KGPipeline()
+
+    # pre-populate via two BATCH commits (batch ids 0 and 1)
+    pipe.run_batch(synth_pages(spark, 8, seed=1), store)
+    pipe.run_batch(synth_pages(spark, 8, seed=2), store)
+    assert store.last_committed() == 1
+
+    # a NEW stream starting at epoch 0 must still apply
+    pages = synth_pages(spark, 8, seed=3)
+    assert run_stream_batch(pages, 0, store, pipe, stream_key="ckptA") is True
+    assert store.last_committed() == 2  # snapshot id allocated, not epoch
+
+    # replay of the same epoch on the SAME stream: filtered
+    assert run_stream_batch(pages, 0, store, pipe, stream_key="ckptA") is False
+
+    # a different stream (fresh checkpoint dir) at epoch 0: applies
+    assert (
+        run_stream_batch(
+            synth_pages(spark, 8, seed=5), 0, store, pipe, stream_key="ckptB"
+        )
+        is True
+    )
+    assert store.last_stream_epoch("ckptA") == 0
+    assert store.last_stream_epoch("ckptB") == 0
+    assert store.last_stream_epoch("nope") is None
