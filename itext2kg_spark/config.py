@@ -26,7 +26,11 @@ class MatchConfig:
     inclusive: bool = True  # ATOM: sim >= thr; star mode: sim > thr
     # Cluster linking: "best" connects each item only to its argmax match
     # (parity with the reference's per-item argmax, matcher.py:73-94);
-    # "all" links every pair >= threshold (denser, pure transitive closure).
+    # "all" links every pair >= threshold (denser, pure transitive closure);
+    # "leader" reproduces the reference's SEQUENTIAL fold exactly (each item
+    # matches only surviving leaders, in first_seen order — absorbed surface
+    # forms leave the pool, so similarity chains never over-merge). "leader"
+    # is order-dependent by definition and driver-path only.
     link_mode: str = "best"
     # Candidate generation: "broadcast" = exact all-pairs (small side broadcast),
     # "lsh" = banded random-hyperplane bucketing, "auto" switches on count.

@@ -51,6 +51,7 @@ def _driver_resolve(
     has_existing: bool,
     order_col: str | None,
     has_exact_hit: bool = False,
+    link_mode: str = "best",
 ):
     """numpy/union-find resolution over collected rows; returns list of
     (key..., comp, is_rep, canon_key...) tuples."""
@@ -82,32 +83,63 @@ def _driver_resolve(
         ok &= ~hit[:, None]
         ok &= ~hit[None, :]
     sims_masked = np.where(ok, sims, -np.inf)
-    # best-match link per item (argmax with min-index tie-break, like the
-    # window orderBy sim desc, id asc in the distributed path)
-    best = sims_masked.argmax(axis=1)
-    linked = sims_masked[np.arange(n), best] > -np.inf
-    if has_existing:
-        # Links originate ONLY from batch rows: the reference computes argmax
-        # for entities1 (batch) against entities2 (store), never the reverse
-        # (matcher.py:65-94). A store row originating its own best-match link
-        # could bridge two store entities through one batch entity, demoting a
-        # store row and corrupting the incremental store.
-        linked &= ~exist
-    pairs = [(int(i), int(best[i])) for i in np.nonzero(linked)[0]]
+
+    # representative ordering: is_existing desc, first_seen asc (nulls
+    # last), keys asc — shared by the leader fold and the rep selection
+    def order_key(i: int):
+        first_seen = rows[i][order_col] if order_col else None
+        if first_seen is None:
+            mid = (1,)
+        else:
+            try:  # struct order cols (e.g. (url, fact_idx)) vs plain scalars
+                mid = (0, tuple(first_seen))
+            except TypeError:
+                mid = (0, (first_seen,))
+        return (0 if exist[i] else 1, mid, keys[i])
+
+    if link_mode == "leader":
+        # EXACT sequential-fold parity (matcher.py _batch_match_entities
+        # applied item-by-item in arrival order, the iText2KG/star accumulate
+        # loop): each item matches against the current SURVIVOR set only —
+        # an absorbed item's surface form leaves the pool, so chains
+        # (a~b, b~c, a≁c) never merge a and c, unlike connected components.
+        # Store rows are the initial global list; batch rows fold in
+        # first_seen order. argmax tie-break = leader insertion order,
+        # identical to np.argmax over the reference's global list.
+        fold_order = sorted(range(n), key=order_key)
+        leaders: list[int] = [i for i in fold_order if exist[i]]
+        pairs = []
+        for i in fold_order:
+            if exist[i]:
+                continue
+            if leaders:
+                s = sims_masked[i, leaders]
+                j = int(np.argmax(s))
+                if s[j] > -np.inf:
+                    pairs.append((i, leaders[j]))
+                    continue
+            leaders.append(i)
+    else:
+        # best-match link per item (argmax with min-index tie-break, like
+        # the window orderBy sim desc, id asc in the distributed path)
+        best = sims_masked.argmax(axis=1)
+        linked = sims_masked[np.arange(n), best] > -np.inf
+        if has_existing:
+            # Links originate ONLY from batch rows: the reference computes
+            # argmax for entities1 (batch) against entities2 (store), never
+            # the reverse (matcher.py:65-94). A store row originating its own
+            # best-match link could bridge two store entities through one
+            # batch entity, demoting a store row and corrupting the
+            # incremental store.
+            linked &= ~exist
+        pairs = [(int(i), int(best[i])) for i in np.nonzero(linked)[0]]
 
     comp_map = _driver_union_find(pairs)
     comps = [comp_map.get(i, i) for i in range(n)]
 
-    # representative per component: is_existing desc, first_seen asc (nulls
-    # last), keys asc
-    def order_key(i: int):
-        first_seen = rows[i][order_col] if order_col else None
-        return (
-            0 if exist[i] else 1,
-            (1,) if first_seen is None else (0, tuple(first_seen)),
-            keys[i],
-        )
-
+    # representative per component: min by order_key (is_existing desc,
+    # first_seen asc nulls-last, keys asc) — in leader mode this is exactly
+    # the fold's surviving leader
     members: dict[int, list[int]] = {}
     for i, c in enumerate(comps):
         members.setdefault(c, []).append(i)
@@ -171,6 +203,7 @@ def resolve_items(
             has_existing,
             order_col,
             has_exact_hit=has_exact_hit,
+            link_mode=cfg.link_mode,
         )
         key_schema = items.select(*key_cols).schema
         fields = (
@@ -188,6 +221,13 @@ def resolve_items(
         return items.join(F.broadcast(mapping), key_cols).localCheckpoint()
 
     # ---- distributed path ----------------------------------------------------
+    if cfg.link_mode == "leader":
+        raise NotImplementedError(
+            "link_mode='leader' (exact sequential-fold parity) is an"
+            " inherently order-dependent semantics and runs on the driver"
+            " path only — raise broadcast_limit/broadcast_limit_bytes or use"
+            " the order-free default link_mode='best' at this scale."
+        )
     with_id = items.withColumn("id", F.xxhash64(*key_cols)).localCheckpoint()
 
     # exact-hit store rows are out of the cosine pool entirely (they still
