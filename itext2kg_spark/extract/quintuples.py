@@ -161,94 +161,96 @@ def extract_quintuples(facts: DataFrame, extractor=None) -> DataFrame:
     )
 
 
+_VEC_LINEAGE = ["url", "obs_ts", "lang", "fact_idx", "fact"]
+
+_VEC_SCHEMA = (
+    "url string, obs_ts timestamp, lang string, fact_idx int, fact string,"
+    " subj_name string, subj_label string, pred string, obj_name string,"
+    " obj_label string, t_start array<string>, t_end array<string>"
+)
+
+# order matters: negative forms first (their text also contains the
+# positive form's keywords)
+_VEC_PATTERNS = (
+    (r"^(?P<subj>.+?) is no longer the (?P<role>[\w ]+?) of (?P<obj>.+?) since (?P<date>.+?)\.$", "role", "Person", True),
+    (r"^(?P<subj>.+?) is the (?P<role>[\w ]+?) of (?P<obj>.+?) since (?P<date>.+?)\.$", "role", "Person", False),
+    (r"^(?P<subj>.+?) no longer works at (?P<obj>.+?) since (?P<date>.+?)\.$", "works_at", "Person", True),
+    (r"^(?P<subj>.+?) works at (?P<obj>.+?) since (?P<date>.+?)\.$", "works_at", "Person", False),
+    (r"^(?P<subj>.+?) acquired (?P<obj>.+?) on (?P<date>.+?)\.$", "acquired", "Company", False),
+)
+
+
+def _vectorized_extract_pdf(pdf):
+    """Batch kernel: facts pandas frame (lineage cols + fact) -> quintuple
+    frame, via .str.extract (C regex) per grammar pattern — no per-row
+    Python. Shared by the staged and fused paths."""
+    import pandas as pd
+
+    s = pdf["fact"].astype(str)
+    remaining = pd.Series(True, index=pdf.index)
+    blocks = []
+
+    def emit(mask, g, pred, subj_label, neg):
+        if not mask.any():
+            return
+        out = pdf.loc[mask, _VEC_LINEAGE].copy()
+        out["subj_name"] = g.loc[mask, "subj"]
+        out["subj_label"] = subj_label
+        out["pred"] = pred[mask] if isinstance(pred, pd.Series) else pred
+        out["obj_name"] = g.loc[mask, "obj"]
+        out["obj_label"] = "Company"
+        dates = g.loc[mask, "date"]
+        t = [[d] for d in dates]
+        empty = [[] for _ in range(int(mask.sum()))]
+        out["t_start"] = empty if neg else t
+        out["t_end"] = t if neg else empty
+        blocks.append(out)
+
+    for pattern, pred_kind, subj_label, neg in _VEC_PATTERNS:
+        g = s.str.extract(pattern)
+        mask = remaining & g["subj"].notna()
+        if pred_kind == "role":
+            pred = (
+                g["role"].str.strip().str.replace(" ", "_", regex=False)
+                + "_of"
+            )
+            emit(mask, g, pred, subj_label, neg)
+        else:
+            emit(mask, g, pred_kind, subj_label, neg)
+        remaining &= ~mask
+
+    if blocks:
+        return pd.concat(blocks, ignore_index=True)
+    return pd.DataFrame(
+        {
+            c: pd.Series(dtype=t)
+            for c, t in zip(
+                _VEC_LINEAGE
+                + [
+                    "subj_name", "subj_label", "pred",
+                    "obj_name", "obj_label", "t_start", "t_end",
+                ],
+                ["object"] * 12,
+            )
+        }
+    )
+
+
 def extract_quintuples_vectorized(facts: DataFrame) -> DataFrame:
     """Vectorized grammar extraction: pandas .str.extract (C regex) over the
     whole Arrow batch, columnwise output — no per-row Python. Same rows as
     `extract_quintuples(facts, GrammarExtractor())` (row-parity tested);
     KGPipeline.quintuples_from_pages uses this path whenever the extractor is
     the built-in GrammarExtractor.
-
-    mapInPandas with flat columns: each grammar pattern is applied to the
-    full batch Series, matched slices are emitted as column blocks.
     """
-    import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    # order matters: negative forms first (their text also contains the
-    # positive form's keywords)
-    role_neg = r"^(?P<subj>.+?) is no longer the (?P<role>[\w ]+?) of (?P<obj>.+?) since (?P<date>.+?)\.$"
-    role_pos = r"^(?P<subj>.+?) is the (?P<role>[\w ]+?) of (?P<obj>.+?) since (?P<date>.+?)\.$"
-    works_neg = r"^(?P<subj>.+?) no longer works at (?P<obj>.+?) since (?P<date>.+?)\.$"
-    works_pos = r"^(?P<subj>.+?) works at (?P<obj>.+?) since (?P<date>.+?)\.$"
-    acq = r"^(?P<subj>.+?) acquired (?P<obj>.+?) on (?P<date>.+?)\.$"
-
-    lineage = ["url", "obs_ts", "lang", "fact_idx", "fact"]
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            s = pdf["fact"].astype(str)
-            remaining = pd.Series(True, index=pdf.index)
-            blocks = []
+            yield _vectorized_extract_pdf(pdf)
 
-            def emit(mask, g, pred, subj_label, neg):
-                if not mask.any():
-                    return
-                out = pdf.loc[mask, lineage].copy()
-                out["subj_name"] = g.loc[mask, "subj"]
-                out["subj_label"] = subj_label
-                out["pred"] = pred[mask] if isinstance(pred, pd.Series) else pred
-                out["obj_name"] = g.loc[mask, "obj"]
-                out["obj_label"] = "Company"
-                dates = g.loc[mask, "date"]
-                t = [[d] for d in dates]
-                empty = [[] for _ in range(int(mask.sum()))]
-                out["t_start"] = empty if neg else t
-                out["t_end"] = t if neg else empty
-                blocks.append(out)
-
-            for pattern, pred_kind, subj_label, neg in (
-                (role_neg, "role", "Person", True),
-                (role_pos, "role", "Person", False),
-                (works_neg, "works_at", "Person", True),
-                (works_pos, "works_at", "Person", False),
-                (acq, "acquired", "Company", False),
-            ):
-                g = s.str.extract(pattern)
-                mask = remaining & g["subj"].notna()
-                if pred_kind == "role":
-                    pred = (
-                        g["role"].str.strip().str.replace(" ", "_", regex=False)
-                        + "_of"
-                    )
-                    emit(mask, g, pred, subj_label, neg)
-                else:
-                    emit(mask, g, pred_kind, subj_label, neg)
-                remaining &= ~mask
-
-            if blocks:
-                yield pd.concat(blocks, ignore_index=True)
-            else:
-                yield pd.DataFrame(
-                    {
-                        c: pd.Series(dtype=t)
-                        for c, t in zip(
-                            lineage
-                            + [
-                                "subj_name", "subj_label", "pred",
-                                "obj_name", "obj_label", "t_start", "t_end",
-                            ],
-                            ["object"] * 12,
-                        )
-                    }
-                )
-
-    schema = (
-        "url string, obs_ts timestamp, lang string, fact_idx int, fact string,"
-        " subj_name string, subj_label string, pred string, obj_name string,"
-        " obj_label string, t_start array<string>, t_end array<string>"
-    )
-    return facts.select(*lineage).mapInPandas(run, schema=schema)
+    return facts.select(*_VEC_LINEAGE).mapInPandas(run, schema=_VEC_SCHEMA)
 
 
 class TokenTripleExtractor:

@@ -35,6 +35,25 @@ def test_html_pruned_after_distill(spark, tmp_path):
     assert "text" not in scan_schema
 
 
+def test_timeparse_clean_branch_stays_jvm(spark):
+    """The dateutil-fallback split must keep the all-fast-path branch free of
+    Python stages: only the dirty branch may carry ArrowEvalPython. A naive
+    row-gated UDF would put EVERY row through the Python worker."""
+    import pyspark.sql.functions as F
+    from itext2kg_spark.functions.timeparse import parse_timestamp_array_columns
+
+    df = spark.createDataFrame(
+        [(["2025-01-01"],), (["July 17th, 2025"],)], "t array<string>"
+    )
+    out = parse_timestamp_array_columns(df, ["t"])
+    plan = _plan(out)
+    # the union has exactly one Python-eval subtree (dirty branch), not two
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+    # and the parse itself is correct on both branches
+    rows = sorted(r["t"] for r in out.collect())
+    assert len(rows) == 2 and all(len(v) == 1 for v in rows)
+
+
 def test_parquet_filter_pushdown(spark, tmp_path):
     p = str(tmp_path / "pages2")
     synth_pages(spark, 30, seed=4).write.parquet(p)
