@@ -29,8 +29,12 @@ class MatchConfig:
     # "all" links every pair >= threshold (denser, pure transitive closure);
     # "leader" reproduces the reference's SEQUENTIAL fold exactly (each item
     # matches only surviving leaders, in first_seen order — absorbed surface
-    # forms leave the pool, so similarity chains never over-merge). "leader"
-    # is order-dependent by definition and driver-path only.
+    # forms leave the pool, so similarity chains never over-merge). Both
+    # paths implement it: the driver path as the literal fold, the
+    # distributed path as an ord-prefix fixpoint (rounds = chain depth) that
+    # provably yields the same assignment; its fold rank needs one global
+    # sort of the distinct-item table, so prefer the order-free default at
+    # extreme cardinalities.
     link_mode: str = "best"
     # Candidate generation: "broadcast" = exact all-pairs (small side broadcast),
     # "lsh" = banded random-hyperplane bucketing, "auto" switches on count.
@@ -60,12 +64,24 @@ class MatchConfig:
     # two-canonical-KG merge, where both sides are already internally merged.
     exclude_exact_matched_store: bool = False
 
+    # Byte ceiling for the driver resolution's n x n similarity matrix —
+    # the collect limit alone misses that _driver_resolve is quadratic in
+    # rows (100k rows -> an 80 GB float64 matrix). 8 GiB caps the driver
+    # path at ~32k distinct items; larger batches take the distributed path.
+    driver_matrix_bytes: int = 8 * 1024 * 1024 * 1024
+
     def effective_broadcast_limit(self, emb_dim: int | None = None) -> int:
-        """Row limit for driver-side paths, byte-bounded when the vector
-        width is known (float64 matrix on the driver)."""
+        """Row limit for driver-side paths: bounded by the configured row
+        count, the collected-matrix bytes (when the vector width is known),
+        and the quadratic n x n similarity-matrix budget."""
+        n_quad = int((self.driver_matrix_bytes / 8) ** 0.5)
         if not emb_dim:
-            return self.broadcast_limit
-        return min(self.broadcast_limit, self.broadcast_limit_bytes // (emb_dim * 8))
+            return min(self.broadcast_limit, n_quad)
+        return min(
+            self.broadcast_limit,
+            self.broadcast_limit_bytes // (emb_dim * 8),
+            n_quad,
+        )
 
 
 @dataclass(frozen=True)

@@ -154,6 +154,107 @@ def _driver_resolve(
     return out
 
 
+def _distributed_leader(
+    with_id: DataFrame, pairs: DataFrame, order: list, max_iter: int
+) -> DataFrame:
+    """Distributed sequential-fold (leader) resolution: (id, comp) where
+    comp = the surviving leader each absorbed item folds into.
+
+    Semantics identical to the driver fold (see _driver_resolve): items are
+    processed in `order`; each item either absorbs into its best-scoring
+    already-processed SURVIVOR at sim>=θ, or becomes a leader. The parallel
+    formulation is an ord-prefix fixpoint: a node DECIDES once every
+    candidate with smaller ord has decided; it absorbs into its best decided
+    leader candidate (sim desc, ord asc — identical to the fold's argmax
+    over the leader list) else leads. Rounds needed = longest candidate
+    chain depth, each round one join + window; a node can never flip once
+    decided, because its decision reads only decided (immutable) state.
+
+    Note the fold rank is materialized with a global row_number — a
+    single-partition sort over the DISTINCT-item table. Leader mode is the
+    strict-parity mode; at corpus sizes where that sort hurts, the order-free
+    default ('best'+CC) is the intended path.
+    """
+    w_ord = Window.orderBy(*order)
+    nodes = (
+        with_id.withColumn("__ord", F.row_number().over(w_ord))
+        .select("id", "__ord")
+        .localCheckpoint()
+    )
+    oa = nodes.select(F.col("id").alias("id_a"), F.col("__ord").alias("ord_a"))
+    ob = nodes.select(F.col("id").alias("id_b"), F.col("__ord").alias("ord_b"))
+    both = pairs.join(oa, "id_a").join(ob, "id_b")
+    # direct every candidate edge from the later item to the earlier one
+    directed = both.select(
+        F.when(F.col("ord_a") > F.col("ord_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("src"),
+        F.when(F.col("ord_a") > F.col("ord_b"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("dst"),
+        F.when(F.col("ord_a") > F.col("ord_b"), F.col("ord_b"))
+        .otherwise(F.col("ord_a"))
+        .alias("dst_ord"),
+        "sim",
+    ).localCheckpoint()
+
+    # status: decided nodes carry leader flag + comp (their leader's id)
+    decided = nodes.limit(0).select(
+        "id", F.lit(True).alias("leader"), F.col("id").alias("comp")
+    )
+    undecided = nodes
+    for _ in range(max_iter):
+        if undecided.isEmpty():
+            break
+        cand = directed.join(
+            undecided.select(F.col("id").alias("src")), "src", "left_semi"
+        )
+        dst_status = decided.select(
+            F.col("id").alias("dst"),
+            F.col("leader").alias("dst_leader"),
+        )
+        cd = cand.join(dst_status, "dst", "left")
+        per_src = cd.groupBy("src").agg(
+            F.min(F.col("dst_leader").isNotNull().cast("int")).alias("__ready")
+        )
+        ready = per_src.where(F.col("__ready") == 1).select("src")
+        # nodes with no candidates at all decide immediately as leaders
+        no_cand = undecided.join(
+            directed.select(F.col("src").alias("id")), "id", "left_anti"
+        ).select("id")
+        # best decided-leader target per ready src (fold argmax: sim desc,
+        # leader-insertion order = ord asc)
+        wbest = Window.partitionBy("src").orderBy(
+            F.col("sim").desc(), F.col("dst_ord").asc()
+        )
+        best = (
+            cd.join(ready, "src", "left_semi")
+            .where(F.col("dst_leader"))
+            .withColumn("__rn", F.row_number().over(wbest))
+            .where(F.col("__rn") == 1)
+            .select(F.col("src").alias("id"), F.col("dst").alias("comp"))
+        )
+        absorbed_now = best.select(
+            "id", F.lit(False).alias("leader"), "comp"
+        )
+        lead_now = (
+            ready.select(F.col("src").alias("id"))
+            .join(best.select("id"), "id", "left_anti")
+            .union(no_cand)
+            .select("id", F.lit(True).alias("leader"), F.col("id").alias("comp"))
+        )
+        newly = absorbed_now.unionByName(lead_now).localCheckpoint()
+        if newly.isEmpty():
+            break
+        decided = decided.unionByName(newly).localCheckpoint()
+        undecided = undecided.join(newly.select("id"), "id", "left_anti")
+    # anything still undecided at the iteration cap leads itself
+    # (conservative: no merge is lost data, only an unmerged duplicate)
+    return decided.select("id", "comp").unionByName(
+        undecided.select("id", F.col("id").alias("comp"))
+    )
+
+
 def resolve_items(
     items: DataFrame,
     cfg: MatchConfig,
@@ -221,13 +322,6 @@ def resolve_items(
         return items.join(F.broadcast(mapping), key_cols).localCheckpoint()
 
     # ---- distributed path ----------------------------------------------------
-    if cfg.link_mode == "leader":
-        raise NotImplementedError(
-            "link_mode='leader' (exact sequential-fold parity) is an"
-            " inherently order-dependent semantics and runs on the driver"
-            " path only — raise broadcast_limit/broadcast_limit_bytes or use"
-            " the order-free default link_mode='best' at this scale."
-        )
     with_id = items.withColumn("id", F.xxhash64(*key_cols)).localCheckpoint()
 
     # exact-hit store rows are out of the cosine pool entirely (they still
@@ -244,7 +338,18 @@ def resolve_items(
         n_items=n_items,
         emb_dim=emb_dim,
     )
-    if cfg.link_mode == "best":
+    order = []
+    if has_existing:
+        order.append(F.col("is_existing").desc())
+    if order_col is not None:
+        order.append(F.col(order_col).asc_nulls_last())
+    order += [F.col(c).asc() for c in key_cols]
+
+    if cfg.link_mode == "leader":
+        comp = _distributed_leader(
+            with_id, pairs, order, max_iter=cfg.cc_max_iter
+        )
+    elif cfg.link_mode == "best":
         # Keep only each node's single best-scoring link (argmax parity with
         # the reference; weak non-best pairs above θ never form links there,
         # so including them would transitively over-merge distinct clusters
@@ -268,17 +373,14 @@ def resolve_items(
             .where(F.col("__rn") == 1)
             .select(F.col("v").alias("id_a"), F.col("w").alias("id_b"), "sim")
         )
-    comp = connected_components(with_id.select("id"), pairs, max_iter=cfg.cc_max_iter)
+    if cfg.link_mode != "leader":
+        comp = connected_components(
+            with_id.select("id"), pairs, max_iter=cfg.cc_max_iter
+        )
     labeled = with_id.join(comp, "id", "left").withColumn(
         "comp", F.coalesce(F.col("comp"), F.col("id"))
     )
 
-    order = []
-    if has_existing:
-        order.append(F.col("is_existing").desc())
-    if order_col is not None:
-        order.append(F.col(order_col).asc_nulls_last())
-    order += [F.col(c).asc() for c in key_cols]
     w = Window.partitionBy("comp").orderBy(*order)
     ranked = labeled.withColumn("__rn", F.row_number().over(w))
 

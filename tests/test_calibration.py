@@ -102,7 +102,7 @@ def _reference_entity_fold(ref, names, embs, threshold) -> dict[str, str]:
     return assign
 
 
-def _our_resolution(spark, names, embs, threshold, link_mode="leader"):
+def _our_resolution(spark, names, embs, threshold, link_mode="leader", cfg=None):
     unit = embs / np.linalg.norm(embs, axis=1, keepdims=True)
     df = spark.createDataFrame(
         [
@@ -113,7 +113,7 @@ def _our_resolution(spark, names, embs, threshold, link_mode="leader"):
     )
     resolved = resolve_items(
         df,
-        MatchConfig(link_mode=link_mode),
+        cfg or MatchConfig(link_mode=link_mode),
         threshold,
         key_cols=["name"],
         emb_col="emb",
@@ -158,6 +158,40 @@ def test_relation_matcher_agreement_on_relationship_variations(spark, ref):
     p, r = _co_pr(expected, got)
     assert p >= 0.95, f"co-clustering precision {p:.3f} over {len(names)} items"
     assert r >= 0.95, f"co-clustering recall {r:.3f}"
+
+
+def test_distributed_leader_matches_driver_fold(spark, ref):
+    """The distributed leader formulation (ord-prefix fixpoint) must produce
+    the SAME canonical assignment as the driver's sequential fold — and
+    therefore the reference — on the relation-variation corpus."""
+    rows = read_xlsx(REL_XLSX)
+    names, seen = [], set()
+    for row in rows:
+        for v in row.values():
+            r_ = ref.Relationship(
+                name=v,
+                startEntity=ref.Entity(name="a", label="x"),
+                endEntity=ref.Entity(name="b", label="x"),
+                properties=ref.RelationshipProperties(),
+            )
+            r_.process()
+            if r_.name not in seen:
+                seen.add(r_.name)
+                names.append(r_.name)
+    embs = hash_embed_texts(names).astype(np.float64)
+    theta = 0.7
+    driver = _our_resolution(spark, names, embs, theta)
+    dist = _our_resolution(
+        spark, names, embs, theta,
+        cfg=MatchConfig(
+            link_mode="leader", broadcast_limit=0, candidate_method="broadcast"
+        ),
+    )
+    assert dist == driver
+    # and both match the reference fold
+    expected = _reference_entity_fold(ref, names, embs, theta)
+    p, r = _co_pr(expected, dist)
+    assert p == 1.0 and r == 1.0
 
 
 def test_threshold_curve_documented(spark, ref, capsys):
