@@ -236,6 +236,44 @@ def _q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
     return ann_topk_ivf(queries, vecs, k=5, n_cells=16, n_probe=4)
 
 
+def _q_kg_repair(spark, sf_dir):
+    """E4 repair loop, oracle-checked: drop odd-position token triples so
+    some tokens become isolated, then run the REAL repair_isolated_entities
+    with a deterministic re-extraction (each isolated entity links to a
+    fixed anchor) and return the repaired edge set."""
+    from itext2kg_spark.merge.legacy import repair_isolated_entities
+
+    q = _q_kg_token_quintuples(spark, sf_dir)
+    entities = (
+        q.select(F.col("subj_name").alias("name"), F.col("subj_label").alias("label"))
+        .union(q.select(F.col("obj_name").alias("name"), F.col("obj_label").alias("label")))
+        .distinct()
+    )
+    edges = (
+        q.where(F.col("i") % 2 == 0)
+        .select(
+            F.col("subj_name").alias("src_name"),
+            F.col("subj_label").alias("src_label"),
+            "pred",
+            F.col("obj_name").alias("dst_name"),
+            F.col("obj_label").alias("dst_label"),
+        )
+        .distinct()
+    )
+
+    def extract_fn(isolated):
+        return isolated.select(
+            F.col("name").alias("src_name"),
+            F.col("label").alias("src_label"),
+            F.lit("repair").alias("pred"),
+            F.lit("anchor").alias("dst_name"),
+            F.lit("a").alias("dst_label"),
+        )
+
+    out, _m = repair_isolated_entities(entities, edges, extract_fn, max_tries=2)
+    return out
+
+
 def _q_kg_distill(spark, sf_dir):
     """S2 structured distillation: article-layout docs -> user-schema struct
     (real distill_structured + ArticleRuleExtractor over Arrow batches) ->
@@ -408,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exact_merge_edges": _q_kg_exact_merge_edges,
         "kg_isolated_tokens": _q_kg_isolated_tokens,
         "kg_counts": _q_kg_counts,
+        "kg_repair": _q_kg_repair,
         "kg_distill": _q_kg_distill,
         "kg_build_graph": _q_kg_build_graph,
         "kg_grammar_pipeline": _q_kg_grammar_pipeline,
@@ -512,6 +551,33 @@ edges AS (
 SELECT (SELECT count(*) FROM ents) AS n_entities,
        (SELECT count(*) FROM edges) AS n_edges,
        (SELECT count(DISTINCT {_nl('pred')}) FROM quint) AS n_preds
+""",
+        "kg_repair": f"""
+WITH {_QUINT_CTE},
+ents AS (
+  SELECT DISTINCT name, label FROM (
+    SELECT subj_name AS name, subj_label AS label FROM quint
+    UNION ALL SELECT obj_name, obj_label FROM quint
+  )
+),
+e AS (
+  SELECT DISTINCT subj_name AS src_name, subj_label AS src_label, pred,
+         obj_name AS dst_name, obj_label AS dst_label
+  FROM quint WHERE i % 2 = 0
+),
+endpoints AS (
+  SELECT src_name AS name, src_label AS label FROM e
+  UNION SELECT dst_name, dst_label FROM e
+),
+iso AS (
+  SELECT ents.name, ents.label FROM ents
+  LEFT JOIN endpoints
+    ON ents.name = endpoints.name AND ents.label = endpoints.label
+  WHERE endpoints.name IS NULL
+)
+SELECT src_name, src_label, pred, dst_name, dst_label FROM e
+UNION ALL
+SELECT name, label, 'repair', 'anchor', 'a' FROM iso
 """,
         "kg_er_metrics": """
 WITH e AS (
