@@ -186,6 +186,44 @@ def test_multimodal_plumbing(spark):
         decode_image(b"\x00")
 
 
+def test_multimodal_resize_and_frame_sampling(spark):
+    from itext2kg_spark.extract.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 18).localCheckpoint()
+    resized = resize_images(media, 64, 64, fake=True).collect()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(resized) == n_images > 0
+    for r in resized:
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
+        assert len(r["content"]) == max(16, 64 * 64 // 256)
+
+    frames = sample_frames(media, every_ms=5000, max_frames=8, fake=True)
+    rows = frames.collect()
+    videos = {
+        r["url"]: r["meta"]["duration_ms"]
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    assert {r["url"] for r in rows} <= set(videos)
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append((r["frame_idx"], r["t_ms"]))
+        assert len(r["frame"]) == 32
+    for url, fs in by_url.items():
+        expected = min(8, videos[url] // 5000 + 1)
+        assert sorted(fs) == [(k, k * 5000) for k in range(expected)]
+    # determinism
+    again = sorted(
+        (r["url"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect()
+    )
+    assert again == sorted(
+        (r["url"], r["frame_idx"], bytes(r["frame"])) for r in rows
+    )
+
+
 def test_ann_ivf_recall(spark):
     from itext2kg_spark.similarity.ann import ann_topk_bruteforce, ann_topk_ivf
 
