@@ -18,6 +18,17 @@ import numpy as np
 REF = "/root/reference/itext2kg"
 
 
+def _shim_module(name: str) -> types.ModuleType:
+    """A shim module WITH a ModuleSpec — pyspark's startup probes
+    sys.modules entries via importlib and rejects spec-less modules
+    ("ValueError: <mod>.__spec__ is None")."""
+    import importlib.machinery
+
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _shim_sklearn():
     if "sklearn.metrics.pairwise" in sys.modules:
         return
@@ -31,9 +42,9 @@ def _shim_sklearn():
         Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         return An @ Bn.T
 
-    sk = types.ModuleType("sklearn")
-    met = types.ModuleType("sklearn.metrics")
-    pw = types.ModuleType("sklearn.metrics.pairwise")
+    sk = _shim_module("sklearn")
+    met = _shim_module("sklearn.metrics")
+    pw = _shim_module("sklearn.metrics.pairwise")
     pw.cosine_similarity = cosine_similarity
     sk.metrics = met
     met.pairwise = pw
@@ -130,6 +141,90 @@ def load_reference_merge_eval():
         return _load(
             "ref_evaluate_itext2kg_merge",
             "/root/reference/evaluation/merge/evaluate_itext2kg_merge.py",
+        )
+    except Exception:  # pragma: no cover
+        return None
+
+
+def _shim_dateparser():
+    """The container has no `dateparser`; the evaluation scripts only call
+    `dateparser.parse`. Shim it with the ENGINE's parse-or-None function
+    (itext2kg_spark.merge.quality.parse_datetime) so the reference scoring
+    code and the Spark operators share one parser — the parity target is the
+    matching/temporal logic, not dateparser's fuzzy-locale heuristics."""
+    if "dateparser" in sys.modules:
+        return
+    from itext2kg_spark.merge.quality import parse_datetime
+
+    mod = _shim_module("dateparser")
+    mod.parse = parse_datetime
+    sys.modules["dateparser"] = mod
+
+
+def _shim_matplotlib():
+    if "matplotlib" in sys.modules:
+        return
+    mpl = _shim_module("matplotlib")
+    plt = _shim_module("matplotlib.pyplot")
+    mpl.pyplot = plt
+    sys.modules["matplotlib"] = mpl
+    sys.modules["matplotlib.pyplot"] = plt
+
+
+class HashLG:
+    """Stand-in for the reference's LangchainOutputParser embedding surface:
+    async `calculate_embeddings(text=[...])` backed by the engine's
+    deterministic hash embedder, so reference scoring and Spark operators
+    score in an identical vector space."""
+
+    def __init__(self, dim: int = 256, seed: int = 42):
+        self.dim = dim
+        self.seed = seed
+
+    async def calculate_embeddings(self, text):
+        from itext2kg_spark.extract.embed import hash_embed_texts
+
+        return [list(v) for v in hash_embed_texts(list(text), self.dim, self.seed)]
+
+
+def load_reference_quality():
+    """evaluation/quintuples_quality/calculate_quintuples_quality.py, loaded
+    live with dateparser/sklearn shimmed; returns the module or None."""
+    try:
+        _shim_sklearn()
+        _shim_dateparser()
+        return _load(
+            "ref_calculate_quintuples_quality",
+            "/root/reference/evaluation/quintuples_quality/"
+            "calculate_quintuples_quality.py",
+        )
+    except Exception:  # pragma: no cover
+        return None
+
+
+def load_reference_stability():
+    """evaluation/stability/calculate_stability_jaccard.py, loaded live."""
+    try:
+        _shim_sklearn()
+        _shim_dateparser()
+        return _load(
+            "ref_calculate_stability_jaccard",
+            "/root/reference/evaluation/stability/calculate_stability_jaccard.py",
+        )
+    except Exception:  # pragma: no cover
+        return None
+
+
+def load_reference_exhaustivity():
+    """evaluation/exhaustivity/plot_exhaustivity_quintuples.py (the scoring
+    function lives in the plot script), loaded live with matplotlib shimmed."""
+    try:
+        _shim_sklearn()
+        _shim_dateparser()
+        _shim_matplotlib()
+        return _load(
+            "ref_plot_exhaustivity_quintuples",
+            "/root/reference/evaluation/exhaustivity/plot_exhaustivity_quintuples.py",
         )
     except Exception:  # pragma: no cover
         return None
