@@ -324,11 +324,19 @@ def _doc_id(key, left: pd.DataFrame, right: pd.DataFrame) -> int:
 
 
 def _cogroup(pred_df: DataFrame, gold_df: DataFrame):
+    from pyspark.sql import functions as F
+
     cols = ["doc_id"] + _QUINT_COLS
-    return (
-        pred_df.select(*cols)
-        .groupBy("doc_id")
-        .cogroup(gold_df.select(*cols).groupBy("doc_id"))
+
+    def fresh(df: DataFrame) -> DataFrame:
+        # mint NEW attribute ids per side: when both inputs share lineage
+        # (e.g. pred derived from gold), Catalyst's cogroup attribute dedup
+        # can silently DROP the right child's duplicate-exprId columns under
+        # a downstream projection, handing the kernel a pdf missing columns
+        return df.select(*[F.col(c).alias(c) for c in cols])
+
+    return fresh(pred_df).groupBy("doc_id").cogroup(
+        fresh(gold_df).groupBy("doc_id")
     )
 
 
