@@ -230,6 +230,42 @@ def load_reference_exhaustivity():
         return None
 
 
+def load_reference_neo4j_storage():
+    """The reference Neo4jStorage class (query BUILDERS only — the neo4j
+    bolt driver module is shimmed; create_nodes/create_relationships never
+    touch it), or None."""
+    try:
+        ns = load_reference()
+        if ns is None:
+            return None
+        if "neo4j" not in sys.modules:
+            neo = _shim_module("neo4j")
+
+            class GraphDatabase:  # never used by the query builders
+                @staticmethod
+                def driver(*a, **k):
+                    return None
+
+            neo.GraphDatabase = GraphDatabase
+            sys.modules["neo4j"] = neo
+        if "itext2kg.graph_integration" not in sys.modules:
+            gi = types.ModuleType("itext2kg.graph_integration")
+            gi.__path__ = []
+            sys.modules["itext2kg.graph_integration"] = gi
+        _load("itext2kg.logging_config", f"{REF}/logging_config.py")
+        _load(
+            "itext2kg.graph_integration.storage_interface",
+            f"{REF}/graph_integration/storage_interface.py",
+        )
+        st = _load(
+            "itext2kg.graph_integration.neo4j_storage",
+            f"{REF}/graph_integration/neo4j_storage.py",
+        )
+        return st.Neo4jStorage
+    except Exception:  # pragma: no cover
+        return None
+
+
 def load_reference_distiller():
     """Load the reference DocumentsDistiller class (its combine logic needs
     no LLM — the langchain parser import is stubbed), or None."""

@@ -45,15 +45,19 @@ def test_cypher_export_shapes(spark, tmp_path):
         for f in glob.glob(f"{out}/nodes/part-*")
         for line in open(f).read().splitlines()
     )
-    assert any("MERGE (n:person {name: 'john doe'})" in l for l in nodes)
-    # P5 storage sanitization: empty label -> Entity
-    assert any("MERGE (n:Entity {name: '9corp'})" in l for l in nodes)
+    assert any('MERGE (n:person {name: "john doe"})' in l for l in nodes)
+    # storage sanitization parity: empty label -> Entity
+    assert any('MERGE (n:Entity {name: "9corp"})' in l for l in nodes)
     rels = [
         line
         for f in glob.glob(f"{out}/relationships/part-*")
         for line in open(f).read().splitlines()
     ]
-    assert any("MERGE (a)-[r:works_at]->(b)" in l for l in rels)
+    assert any("MERGE (n)-[r:works_at]->(m)" in l for l in rels)
+    # every RelationshipProperties field is SET on both MERGE branches
+    assert any("ON CREATE SET r.embeddings" in l and "ON MATCH SET" in l
+               and "r.atomic_facts = []" in l and "r.t_obs = [1500000000.0]" in l
+               and "r.t_start = []" in l and "r.t_end = []" in l for l in rels)
 
 
 def test_embedding_string_codec_roundtrip(spark):
