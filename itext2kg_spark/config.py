@@ -64,6 +64,16 @@ class MatchConfig:
     # two-canonical-KG merge, where both sides are already internally merged.
     exclude_exact_matched_store: bool = False
 
+    # Distinct-item ceiling for DISTRIBUTED leader-mode resolution: its fold
+    # rank is a global row_number (a single-partition sort of the distinct
+    # item table) and the fixpoint runs ~2 actions per chain-depth round —
+    # fine for a parity mode, pathological at extreme cardinality. Above
+    # this, resolve_items refuses with guidance to use the order-free
+    # default (link_mode="best"), rather than silently sorting 10^8 rows on
+    # one partition. The driver leader path is unaffected (it is already
+    # bounded by effective_broadcast_limit).
+    leader_sort_limit: int = 10_000_000
+
     # Byte ceiling for the driver resolution's n x n similarity matrix —
     # the collect limit alone misses that _driver_resolve is quadratic in
     # rows (100k rows -> an 80 GB float64 matrix). 8 GiB caps the driver

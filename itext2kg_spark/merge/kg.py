@@ -258,14 +258,22 @@ def canonicalize_kg(
     # (relationship.py:44-57 parity, incl. fuzzy forms). Only this consumer
     # reads the temporal columns, so the parse lives here:
     #  * materialized mode — clean/dirty row split (parse_timestamp_array_
-    #    columns): the all-fast-path majority keeps a pure-JVM plan; only
-    #    rows with a Catalyst-unparseable element flow through dateutil. The
-    #    two branches re-scan checkpointed rows via broadcast joins (cheap).
+    #    columns) applied to the CHECKPOINTED quintuple table BEFORE the
+    #    remap joins: both branches re-scan cheap checkpointed rows, the
+    #    all-fast-path majority keeps a pure-JVM plan, and the three
+    #    broadcast joins run ONCE over the branch union (splitting after the
+    #    joins executed them once per branch — round-2 finding).
     #  * no-materialize mode — the split would re-run the extractor once per
     #    branch, so the row-gated single-pass UDF is used instead (this
     #    mode's lineage is Python mapInPandas stages anyway).
-    mentions_raw = (
-        q.join(F.broadcast(sm), ["subj_name", "subj_label"])
+    if cfg.materialize_quintuples:
+        q_parsed = parse_timestamp_array_columns(q, ["t_start", "t_end"])
+    else:
+        q_parsed = q.withColumn(
+            "t_start", parse_timestamp_array(F.col("t_start"))
+        ).withColumn("t_end", parse_timestamp_array(F.col("t_end")))
+    mentions = (
+        q_parsed.join(F.broadcast(sm), ["subj_name", "subj_label"])
         .join(F.broadcast(om), ["obj_name", "obj_label"])
         .join(F.broadcast(pred_map), ["pred"])
         .select(
@@ -280,14 +288,6 @@ def canonicalize_kg(
             F.array(F.col("fact")).alias("atomic_facts"),
         )
     )
-    if cfg.materialize_quintuples:
-        mentions = parse_timestamp_array_columns(
-            mentions_raw, ["t_start", "t_end"]
-        )
-    else:
-        mentions = mentions_raw.withColumn(
-            "t_start", parse_timestamp_array(F.col("t_start"))
-        ).withColumn("t_end", parse_timestamp_array(F.col("t_end")))
     if existing_edges is not None:
         mentions = mentions.unionByName(
             existing_edges.select(*EDGE_GROUP_KEYS, *EDGE_LIST_COLS)

@@ -346,6 +346,14 @@ def resolve_items(
     order += [F.col(c).asc() for c in key_cols]
 
     if cfg.link_mode == "leader":
+        if n_items > cfg.leader_sort_limit:
+            raise ValueError(
+                f"link_mode='leader' needs a global fold-order sort of the "
+                f"distinct-item table ({n_items} rows > leader_sort_limit="
+                f"{cfg.leader_sort_limit}); at this cardinality use the "
+                f"order-free default link_mode='best' (raise "
+                f"MatchConfig.leader_sort_limit to override)"
+            )
         comp = _distributed_leader(
             with_id, pairs, order, max_iter=cfg.cc_max_iter
         )

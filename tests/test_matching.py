@@ -186,3 +186,33 @@ def test_existing_store_representative_wins(spark):
     row = edges.collect()[0]
     assert row["src_name"] == "acme corp inc"
     assert len(row["t_obs"]) == 2  # original + re-observation
+
+
+def test_distributed_leader_refuses_above_sort_limit(spark):
+    """Leader mode's distributed path needs a single-partition sort of the
+    distinct-item table for the fold rank; above leader_sort_limit it must
+    refuse with guidance instead of silently sorting (resolve.py guard)."""
+    from itext2kg_spark.config import MatchConfig
+    from itext2kg_spark.merge.resolve import resolve_items
+
+    df = spark.createDataFrame(
+        [(f"n{i}", i, [1.0, 0.0]) for i in range(6)],
+        "name string, first_seen long, emb array<double>",
+    )
+    cfg = MatchConfig(
+        link_mode="leader",
+        broadcast_limit=0,  # force the distributed path
+        candidate_method="broadcast",
+        leader_sort_limit=3,
+    )
+    with pytest.raises(ValueError, match="leader_sort_limit"):
+        resolve_items(
+            df, cfg, 0.8, key_cols=["name"], emb_col="emb",
+            order_col="first_seen",
+        )
+    # at/below the limit the distributed fold still runs
+    ok = resolve_items(
+        df.limit(3), cfg, 0.8, key_cols=["name"], emb_col="emb",
+        order_col="first_seen",
+    )
+    assert ok.count() == 3

@@ -74,6 +74,20 @@ def test_edge_remap_uses_broadcast_joins(spark):
     assert "HashAggregate" in plan
 
 
+def test_remap_joins_execute_once_with_timeparse_split(spark):
+    """The timeparse clean/dirty split runs on the checkpointed quintuple
+    table BEFORE the remap joins, so the three broadcast joins appear ONCE in
+    the plan (splitting after the joins doubled them — each branch re-ran all
+    three). synth_pages emits dateutil-only temporal forms, so the dirty
+    branch is live; exactly one Python-eval subtree total."""
+    pages = synth_pages(spark, 40, seed=5)
+    pipe = KGPipeline()
+    _, edges = pipe.build_graph(pages)
+    plan = _plan(edges)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+
+
 def test_salted_repartition_spreads_hot_key(spark):
     # one hot domain = 80% of rows; salt must spread it over many partitions
     pages = synth_pages(spark, 400, seed=6, hot_share=0.8)

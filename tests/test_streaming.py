@@ -86,3 +86,45 @@ def test_stream_epochs_independent_of_batch_ids(spark, tmp_path):
     assert store.last_stream_epoch("ckptA") == 0
     assert store.last_stream_epoch("ckptB") == 0
     assert store.last_stream_epoch("nope") is None
+
+
+def test_stream_watermark_is_o1_and_crash_safe(spark, tmp_path):
+    """The per-stream high-water file makes last_stream_epoch O(1): it only
+    scans snapshots NEWER than the cached batch_id. Crash semantics: the
+    cache is written AFTER the commit marker, so a crash between the two
+    leaves it stale-low and the bounded catch-up scan (or, if the cache is
+    missing entirely, the full scan) still finds the committed epoch —
+    replay-only, never skip."""
+    import json
+
+    store = KGStore(str(tmp_path / "kg4"))
+    pipe = KGPipeline()
+    pages = synth_pages(spark, 8, seed=7)
+    for epoch in (0, 1, 2):
+        assert run_stream_batch(pages, epoch, store, pipe, stream_key="s") is True
+    hw_path = store._stream_hw_path("s")
+    assert os.path.exists(hw_path)
+    with open(hw_path) as f:
+        hw = json.load(f)
+    assert hw["stream_epoch"] == 2 and hw["batch_id"] == 2
+
+    # O(1): with the cache current, no snapshot _COMMITTED json is opened
+    opened = []
+    orig = store.snapshot_metrics
+    store.snapshot_metrics = lambda b: (opened.append(b), orig(b))[1]
+    assert store.last_stream_epoch("s") == 2
+    assert opened == []
+
+    # simulated crash window: marker committed, cache stale at epoch 1
+    with open(hw_path + ".tmp", "w") as f:
+        json.dump({"stream_key": "s", "stream_epoch": 1, "batch_id": 1}, f)
+    os.replace(hw_path + ".tmp", hw_path)
+    assert store.last_stream_epoch("s") == 2  # catch-up scan finds epoch 2
+    assert opened == [2]  # and read exactly the one newer snapshot
+
+    # cache deleted entirely (pre-upgrade store): full scan still correct
+    os.remove(hw_path)
+    assert store.last_stream_epoch("s") == 2
+    # and the replay filter stays correct through all of it
+    assert run_stream_batch(pages, 2, store, pipe, stream_key="s") is False
+    assert run_stream_batch(pages, 3, store, pipe, stream_key="s") is True
