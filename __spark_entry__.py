@@ -422,6 +422,49 @@ def _q_kg_exhaustivity(spark, sf_dir):
     )
 
 
+def _q_kg_distill_pipeline(spark, sf_dir):
+    """S2 -> E6 -> E1 end-to-end: structured FACTS distillation (real
+    distill_structured + FactsRuleExtractor over Arrow batches) ->
+    facts_from_distilled (posexplode lineage) -> token-triple extraction per
+    atomic fact. Article-ish text is synthesized deterministically (5-token
+    sentence groups joined by '. ') so the oracle can rebuild the exact fact
+    strings without the sentence-split regex (RE2 has no lookbehind)."""
+    from itext2kg_spark.extract.distill_structured import (
+        FACTS_SCHEMA,
+        FactsRuleExtractor,
+        distill_structured,
+        facts_from_distilled,
+    )
+    from itext2kg_spark.extract.quintuples import TokenTripleExtractor
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim(F.regexp_replace("text", r"[.!?]", "")), r"\s+")
+    groups = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.array_join(F.slice(toks, i * 5 + 1, F.lit(5)), " "),
+        ),
+        lambda s: s != "",
+    )
+    art = docs.select(
+        "doc_id",
+        F.concat(F.array_join(groups, ". "), F.lit(".")).alias("text"),
+    ).where(F.size(groups) > 0)
+    d = distill_structured(art, FACTS_SCHEMA, FactsRuleExtractor())
+    facts = facts_from_distilled(d).select(
+        "doc_id", F.col("fact_idx").cast("long").alias("fact_idx"), "fact"
+    )
+    out = TokenTripleExtractor.apply(facts, text_col="fact")
+    return out.select(
+        "doc_id",
+        "fact_idx",
+        F.col("i").cast("long").alias("i"),
+        "subj_name",
+        "pred",
+        "obj_name",
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     from itext2kg_spark.functions.text import text_stats
 
@@ -559,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quality": _q_kg_quality,
         "kg_stability": _q_kg_stability,
         "kg_exhaustivity": _q_kg_exhaustivity,
+        "kg_distill_pipeline": _q_kg_distill_pipeline,
         "text_entities": _q_text_entities,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
@@ -805,6 +849,25 @@ SELECT g.doc_id,
             AS BIGINT) AS recall_t_10k
 FROM gc g LEFT JOIN pc p USING (doc_id)
      LEFT JOIN mm m USING (doc_id) LEFT JOIN mt t USING (doc_id)
+""",
+        "kg_distill_pipeline": r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, '[.!?]', '', 'g')), '\s+') AS toks
+  FROM documents
+),
+gr AS (
+  SELECT doc_id, i AS fact_idx,
+         array_to_string(toks[i*5+1 : i*5+5], ' ') || '.' AS fact
+  FROM (SELECT doc_id, toks, unnest(range(4)) AS i FROM t)
+  WHERE array_to_string(toks[i*5+1 : i*5+5], ' ') <> ''
+),
+ft AS (
+  SELECT doc_id, fact_idx, regexp_split_to_array(fact, '\s+') AS ftoks FROM gr
+)
+SELECT doc_id, fact_idx, i,
+       ftoks[3*i+1] AS subj_name, ftoks[3*i+2] AS pred, ftoks[3*i+3] AS obj_name
+FROM (SELECT doc_id, fact_idx, ftoks, unnest(range(len(ftoks) // 3)) AS i FROM ft)
 """,
         "kg_distill": """
 WITH d AS (
