@@ -43,6 +43,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from itext2kg_spark.extract.embed import hash_embed_texts
 
@@ -324,8 +325,6 @@ def _doc_id(key, left: pd.DataFrame, right: pd.DataFrame) -> int:
 
 
 def _cogroup(pred_df: DataFrame, gold_df: DataFrame):
-    from pyspark.sql import functions as F
-
     cols = ["doc_id"] + _QUINT_COLS
 
     def fresh(df: DataFrame) -> DataFrame:
@@ -370,6 +369,44 @@ def quintuple_quality(
         )
 
     return _cogroup(pred_df, gold_df).applyInPandas(kernel, QUALITY_SCHEMA)
+
+
+def quality_summary(quality_df: DataFrame) -> DataFrame:
+    """Corpus-level summary of per-document quality metrics — the
+    reference's `calculate_summary_statistics` (calculate_quintuples_quality
+    .py:437-484): mean and POPULATION std (np.std, ddof=0) of each per-row
+    proportion, totals of each count, n_samples. Per-row proportions follow
+    :277-284 (MATCH/OM and all temporal variants over total_gold, HALL over
+    total_predicted, 0.0 when the denominator is 0 — which also reproduces
+    the empty-input shortcut rows). One wide-agg Spark job; comparing two
+    extraction variants (the reference's case1 vs case2, its headline ~31%
+    factual-exhaustivity claim) is two calls to this over two pred tables."""
+    tg = F.col("total_gold").cast("double")
+    tp = F.col("total_pred").cast("double")
+
+    def ratio(num, den):
+        return F.when(den > 0, F.col(num) / den).otherwise(F.lit(0.0))
+
+    props = {
+        "MATCH": ratio("match_count", tg),
+        "HALL": ratio("hall_count", tp),
+        "OM": ratio("om_count", tg),
+        "MATCH_t": ratio("match_t_count", tg),
+        "OM_t": ratio("om_t_count", tg),
+        "HALL_t": ratio("hall_t_count", tg),
+    }
+    counts = [
+        "match_count", "hall_count", "om_count",
+        "match_t_count", "om_t_count", "hall_t_count",
+        "total_pred", "total_gold",
+    ]
+    aggs = []
+    for name, expr in props.items():
+        aggs.append(F.avg(expr).alias(f"{name}_mean"))
+        aggs.append(F.stddev_pop(expr).alias(f"{name}_std"))
+    aggs += [F.sum(c).alias(f"{c}_total") for c in counts]
+    aggs.append(F.count("*").alias("n_samples"))
+    return quality_df.agg(*aggs)
 
 
 def quintuple_stability(

@@ -310,3 +310,60 @@ def test_spark_exhaustivity_operator_nyt(spark, nyt):
         assert row["matched_gold_t"] == exp["matched_gold_t"], doc_id
         assert row["total_pred"] == exp["total_predicted"]
         assert row["total_gold"] == exp["total_gold"]
+
+
+def test_quality_summary_parity_vs_reference(spark, nyt):
+    """Corpus-level summary statistics (the reference's
+    calculate_summary_statistics — mean/population-std of per-row
+    proportions + count totals) must match when the Spark quality operator's
+    per-doc rows are aggregated by quality_summary. Both extraction variants
+    (direct and from-factoids) are summarized, mirroring the reference's
+    case1/case2 comparison."""
+    from itext2kg_spark.merge.quality import quality_summary
+
+    ref = load_reference_quality()
+    assert ref is not None
+    lg = HashLG()
+
+    for pred_col in (PRED_COL, FACTOID_PRED_COL):
+        # the reference's loop evaluates only rows with nonempty gold AND
+        # nonempty prediction (evaluate_quintuples_quality:389-432)
+        keep = [
+            idx
+            for idx in nyt.index
+            if _as_list(nyt[GOLD_COL].loc[idx]) and _as_list(nyt[pred_col].loc[idx])
+        ]
+        ref_rows = [
+            asyncio.run(
+                ref.calculate_comprehensive_metrics(
+                    quintuples=_as_list(nyt[pred_col].loc[idx]),
+                    gold_quintuples=_as_list(nyt[GOLD_COL].loc[idx]),
+                    lg_kg_construction=lg,
+                    threshold=0.7,
+                )
+            )
+            for idx in keep
+        ]
+        ref_summary = ref.calculate_summary_statistics({"case": ref_rows})["case"]
+
+        sub = nyt.loc[keep]
+        got = quality_summary(
+            quintuple_quality(
+                _spark_df(spark, sub, pred_col),
+                _spark_df(spark, sub, GOLD_COL),
+                threshold=0.7,
+            )
+        ).collect()[0].asDict()
+
+        assert got["n_samples"] == ref_summary["n_samples"]
+        for m in ("MATCH", "HALL", "OM", "MATCH_t", "OM_t", "HALL_t"):
+            assert got[f"{m}_mean"] == pytest.approx(ref_summary[f"{m}_mean"]), m
+            assert got[f"{m}_std"] == pytest.approx(ref_summary[f"{m}_std"]), m
+        count_map = {
+            "match_count": "MATCH_count", "hall_count": "HALL_count",
+            "om_count": "OM_count", "match_t_count": "MATCH_t_count",
+            "om_t_count": "OM_t_count", "hall_t_count": "HALL_t_count",
+            "total_pred": "total_predicted", "total_gold": "total_gold",
+        }
+        for ours, theirs in count_map.items():
+            assert got[f"{ours}_total"] == ref_summary[f"{theirs}_total"], ours
