@@ -422,6 +422,66 @@ def _q_kg_exhaustivity(spark, sf_dir):
     )
 
 
+_COST_QP = "Extract temporal quintuples from the paragraph"
+_COST_QX = "Examples: (a, rel, b, [], [])"
+_COST_SCHEMA_TOKENS = 57
+
+
+def _q_kg_cost(spark, sf_dir):
+    """Scenario-L cost estimation (cost_estimation.py:717-828) over the
+    synthetic gold quintuples: per-doc LLM input tokens (LangChain-wrapped
+    prompt assembly), output tokens (reconstructed relationships JSON), and
+    per-mention embedding tokens. Prompt literals are ASCII so the Java and
+    RE2 token regexes agree; the DuckDB oracle rebuilds the same prompt and
+    JSON strings and counts with the same pattern."""
+    from itext2kg_spark.functions.cost import scenario_direct_tokens
+
+    gold, _ = _synth_eval_quintuples(spark, sf_dir)
+    empty = F.array().cast("array<string>")
+    quints = gold.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("idx", "head", "rel", "tail", "t_start", "t_end")
+            )
+        ).alias("__q")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.col("__q"),
+            lambda x: F.struct(
+                x["head"].alias("head"),
+                x["rel"].alias("rel"),
+                x["tail"].alias("tail"),
+                F.when(x["t_start"] == "", empty)
+                .otherwise(F.array(x["t_start"]))
+                .alias("t_start"),
+                F.when(x["t_end"] == "", empty)
+                .otherwise(F.array(x["t_end"]))
+                .alias("t_end"),
+            ),
+        ).alias("quintuples"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("lead"),
+        F.date_add(F.lit("2024-03-01").cast("date"), (F.col("doc_id") % 200).cast("int"))
+        .cast("string")
+        .alias("obs_date"),
+    )
+    out = scenario_direct_tokens(
+        docs.join(quints, "doc_id"),
+        quint_prompt=_COST_QP,
+        quint_examples=_COST_QX,
+        rel_schema_tokens=_COST_SCHEMA_TOKENS,
+    )
+    return out.select(
+        "doc_id",
+        F.col("input_tokens").cast("long").alias("input_tokens"),
+        F.col("output_tokens").cast("long").alias("output_tokens"),
+        F.col("embedding_tokens").cast("long").alias("embedding_tokens"),
+    )
+
+
 def _q_kg_distill_pipeline(spark, sf_dir):
     """S2 -> E6 -> E1 end-to-end: structured FACTS distillation (real
     distill_structured + FactsRuleExtractor over Arrow batches) ->
@@ -603,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stability": _q_kg_stability,
         "kg_exhaustivity": _q_kg_exhaustivity,
         "kg_distill_pipeline": _q_kg_distill_pipeline,
+        "kg_cost": _q_kg_cost,
         "text_entities": _q_text_entities,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
@@ -849,6 +910,49 @@ SELECT g.doc_id,
             AS BIGINT) AS recall_t_10k
 FROM gc g LEFT JOIN pc p USING (doc_id)
      LEFT JOIN mm m USING (doc_id) LEFT JOIN mt t USING (doc_id)
+""",
+        "kg_cost": f"""
+WITH {_EVAL_CTE},
+tok AS (SELECT '[A-Za-z0-9]+|[^\\x00-\\x20A-Za-z0-9]' AS pat),
+docs AS (
+  SELECT doc_id, text AS lead,
+         CAST(DATE '2024-03-01' + CAST(doc_id % 200 AS INT) AS VARCHAR) AS obs_date
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         list(struct_pack(
+           startNode := struct_pack(label := 'Entity', name := head),
+           endNode := struct_pack(label := 'Entity', name := tail),
+           name := rel,
+           t_start := CASE WHEN ts = '' THEN CAST([] AS VARCHAR[]) ELSE [ts] END,
+           t_end := CASE WHEN te = '' THEN CAST([] AS VARCHAR[]) ELSE [te] END
+         ) ORDER BY i) AS rels,
+         CAST(sum(len(regexp_extract_all(head, (SELECT pat FROM tok)))
+             + len(regexp_extract_all(tail, (SELECT pat FROM tok)))
+             + len(regexp_extract_all(rel, (SELECT pat FROM tok)))
+             + 2) AS BIGINT) AS embedding_tokens
+  FROM gold GROUP BY doc_id
+),
+asm AS (
+  SELECT d.doc_id,
+         '# Context: ' || d.lead || chr(10) || chr(10)
+           || '# Question: Observation Time: ' || d.obs_date
+           || chr(10) || chr(10) || '{_COST_QP}'
+           || chr(10) || chr(10) || '{_COST_QX}'
+           || chr(10) || chr(10) || 'Paragraph: ' || d.lead
+           || chr(10) || chr(10) || 'Answer: ' AS wrapped,
+         to_json(struct_pack(relationships := q.rels)) AS rel_json,
+         q.embedding_tokens
+  FROM docs d JOIN q USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(wrapped, (SELECT pat FROM tok)))
+            + {_COST_SCHEMA_TOKENS} AS BIGINT) AS input_tokens,
+       CAST(len(regexp_extract_all(rel_json, (SELECT pat FROM tok))) AS BIGINT)
+         AS output_tokens,
+       embedding_tokens
+FROM asm
 """,
         "kg_distill_pipeline": r"""
 WITH t AS (

@@ -230,6 +230,42 @@ def load_reference_exhaustivity():
         return None
 
 
+def load_reference_costs():
+    """evaluation/costs/cost_estimation.py loaded live, with `tiktoken`
+    shimmed to the ENGINE's deterministic token pattern (functions/cost.py
+    TOKEN_PATTERN) — both systems then count with one tokenizer, so any
+    difference is prompt-assembly/JSON/arithmetic divergence, the thing
+    under test. The Pydantic schema models load from the reference's own
+    atom/models/schemas.py (pure pydantic)."""
+    try:
+        if "tiktoken" not in sys.modules:
+            from itext2kg_spark.functions.cost import _TOKEN_RE
+
+            tk = _shim_module("tiktoken")
+
+            class _Enc:
+                @staticmethod
+                def encode(s):
+                    return _TOKEN_RE.findall(s)
+
+            tk.get_encoding = lambda name: _Enc()
+            sys.modules["tiktoken"] = tk
+        for pkg in ("itext2kg", "itext2kg.atom", "itext2kg.atom.models"):
+            if pkg not in sys.modules:
+                m = types.ModuleType(pkg)
+                m.__path__ = []
+                sys.modules[pkg] = m
+        _load(
+            "itext2kg.atom.models.schemas", f"{REF}/atom/models/schemas.py"
+        )
+        return _load(
+            "ref_cost_estimation",
+            "/root/reference/evaluation/costs/cost_estimation.py",
+        )
+    except Exception:  # pragma: no cover
+        return None
+
+
 def load_reference_neo4j_storage():
     """The reference Neo4jStorage class (query BUILDERS only — the neo4j
     bolt driver module is shimmed; create_nodes/create_relationships never
