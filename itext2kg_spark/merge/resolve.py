@@ -52,14 +52,15 @@ def _driver_resolve(
     order_col: str | None,
     has_exact_hit: bool = False,
     link_mode: str = "best",
+    emb_col: str = "emb",
 ):
     """numpy/union-find resolution over collected rows; returns list of
-    (key..., comp, is_rep, canon_key...) tuples."""
+    (key..., comp, is_rep, canon_key...) tuples aligned with input order."""
     n = len(rows)
     if n == 0:
         return []
     keys = [tuple(r[c] for c in key_cols) for r in rows]
-    mat = np.asarray([np.asarray(r["emb"], dtype=np.float64) for r in rows])
+    mat = np.asarray([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
     exist = (
         np.asarray([bool(r["is_existing"]) for r in rows])
         if has_existing
@@ -284,18 +285,24 @@ def resolve_items(
     has_exact_hit = "exact_hit" in items.columns
     spark = items.sparkSession
 
+    limit = cfg.effective_broadcast_limit(emb_dim)
+    rows = None
     if n_items is None:
-        n_items = items.count()
+        # ONE Spark action decides the path AND feeds it: over-fetch the
+        # limit by one row instead of running a separate count job (a batch's
+        # latency-critical serial path is job count, not bytes — the old
+        # count + select-collect + join-back-checkpoint shape executed the
+        # upstream embed lineage three times and paid ~3 jobs of fixed
+        # overhead per resolution).
+        rows = items.limit(limit + 1).collect()
+        n_items = len(rows)
+        if n_items > limit:
+            rows = None  # distributed path; now pay for the real count
+            n_items = items.count()
 
-    if n_items <= cfg.effective_broadcast_limit(emb_dim):
-        sel = key_cols + [F.col(emb_col).alias("emb")]
-        if has_existing:
-            sel.append("is_existing")
-        if has_exact_hit:
-            sel.append("exact_hit")
-        if order_col:
-            sel.append(order_col)
-        rows = items.select(*sel).collect()
+    if n_items <= limit:
+        if rows is None:
+            rows = items.collect()
         resolved = _driver_resolve(
             rows,
             key_cols,
@@ -305,21 +312,34 @@ def resolve_items(
             order_col,
             has_exact_hit=has_exact_hit,
             link_mode=cfg.link_mode,
+            emb_col=emb_col,
         )
-        key_schema = items.select(*key_cols).schema
-        fields = (
-            [f"{f.name} {f.dataType.simpleString()}" for f in key_schema.fields]
-            + ["comp long", "is_rep boolean"]
+        # Build the output entirely on the driver: the collected rows already
+        # carry every item column, so the result is a local relation — no
+        # join-back, no re-execution of the upstream lineage, no checkpoint.
+        # Downstream broadcast joins see a LocalRelation small side.
+        from pyspark.sql.types import (
+            BooleanType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        key_fields = {f.name: f for f in items.schema.fields}
+        schema = StructType(
+            list(items.schema.fields)
             + [
-                f"canon_{f.name} {f.dataType.simpleString()}"
-                for f in key_schema.fields
+                StructField("comp", LongType(), False),
+                StructField("is_rep", BooleanType(), False),
+            ]
+            + [
+                StructField(f"canon_{c}", key_fields[c].dataType, True)
+                for c in key_cols
             ]
         )
-        mapping = spark.createDataFrame(resolved, ", ".join(fields))
-        # materialize the (tiny) resolved table once — it feeds 3-4 separate
-        # consumers (src map, dst map, canonical entity output) and without
-        # this each one re-executes the upstream embed/groupBy lineage
-        return items.join(F.broadcast(mapping), key_cols).localCheckpoint()
+        k = len(key_cols)
+        out_rows = [tuple(r) + res[k:] for r, res in zip(rows, resolved)]
+        return spark.createDataFrame(out_rows, schema)
 
     # ---- distributed path ----------------------------------------------------
     with_id = items.withColumn("id", F.xxhash64(*key_cols)).localCheckpoint()
