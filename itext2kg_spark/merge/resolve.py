@@ -287,6 +287,7 @@ def resolve_items(
 
     limit = cfg.effective_broadcast_limit(emb_dim)
     rows = None
+    with_id = None
     if n_items is None:
         # ONE Spark action decides the path AND feeds it: over-fetch the
         # limit by one row instead of running a separate count job (a batch's
@@ -297,8 +298,14 @@ def resolve_items(
         rows = items.limit(limit + 1).collect()
         n_items = len(rows)
         if n_items > limit:
-            rows = None  # distributed path; now pay for the real count
-            n_items = items.count()
+            # Distributed path: checkpoint FIRST, then count the checkpoint,
+            # so the upstream distinct/embed lineage executes at most twice
+            # (the over-fetch attempt + the checkpoint), never per-action.
+            rows = None
+            with_id = items.withColumn(
+                "id", F.xxhash64(*key_cols)
+            ).localCheckpoint()
+            n_items = with_id.count()
 
     if n_items <= limit:
         if rows is None:
@@ -342,7 +349,8 @@ def resolve_items(
         return spark.createDataFrame(out_rows, schema)
 
     # ---- distributed path ----------------------------------------------------
-    with_id = items.withColumn("id", F.xxhash64(*key_cols)).localCheckpoint()
+    if with_id is None:  # n_items was passed in by the caller
+        with_id = items.withColumn("id", F.xxhash64(*key_cols)).localCheckpoint()
 
     # exact-hit store rows are out of the cosine pool entirely (they still
     # appear in the output, mapping to themselves via the left join below)
