@@ -619,15 +619,31 @@ def _q_kg_er_metrics(spark, sf_dir):
     )
 
 
-def _q_text_entities(spark, sf_dir):  # rows-only: E2 entity extraction
+def _q_text_entities(spark, sf_dir):
+    """E2 entity extraction (RuleEntityExtractor UDF + explode), oracle-checked:
+    the documents text is lowercase, so a deterministic pre-step capitalizes
+    tokens of length >= 5 (same explicit rule in the DuckDB oracle) to give
+    the capitalized-span extractor realistic single- and multi-token spans."""
     from itext2kg_spark.extract.entities import extract_entities
-    from itext2kg_spark.sources.pages import synth_pages
 
-    n = 100 if "0.001" in sf_dir else (300 if "0.01" in sf_dir else 1000)
-    pages = synth_pages(spark, n, seed=7)
-    return extract_entities(pages.select("url", "text")).select(
-        "url", "name", "label"
+    docs = _docs(spark, sf_dir)
+    cap = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.when(
+                    F.length(x) >= 5,
+                    F.concat(
+                        F.upper(x.substr(F.lit(1), F.lit(1))),
+                        x.substr(F.lit(2), F.length(x)),
+                    ),
+                ).otherwise(x),
+            ),
+            " ",
+        ).alias("text"),
     )
+    return extract_entities(cap).select("doc_id", "name", "label")
 
 
 def _q_kg_grammar_pipeline(spark, sf_dir):  # rows-only: grammar + temporal path
@@ -1078,6 +1094,27 @@ FROM c
         "text_fingerprint": """
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        # E2 capitalized-span extraction after the deterministic
+        # capitalize-long-tokens pre-step (see _q_text_entities)
+        "text_entities": r"""
+WITH cap AS (
+  SELECT doc_id,
+         array_to_string(list_transform(string_split(text, ' '),
+           x -> CASE WHEN length(x) >= 5
+                     THEN upper(substr(x,1,1)) || substr(x,2) ELSE x END), ' ') AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\b([A-Z][a-zA-Z]*(?: [A-Z][a-zA-Z]*)*)\b', 1)) AS name
+  FROM cap
+)
+SELECT doc_id, name,
+       CASE WHEN regexp_matches(name, '(?i)(corp|inc|labs|industries|systems|dynamics|holdings|networks|media|energy|logistics)$') THEN 'Company'
+            WHEN contains(name, ' ') THEN 'Person'
+            ELSE 'Entity' END AS label
+FROM m
 """,
     }
 
