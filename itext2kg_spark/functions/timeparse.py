@@ -196,3 +196,49 @@ def parse_timestamp_array_columns(
         ]
     )
     return clean.unionByName(dirty)
+
+
+def parse_timestamp_array_inline(
+    df, cols: list[str], use_dateutil_fallback: bool = True
+):
+    """Single-pass row-gated variant of `parse_timestamp_array_columns`: no
+    clean/dirty branch split, so the input is scanned ONCE — the right shape
+    when upstream is expensive to recompute and unmaterialized (the
+    materialize_quintuples=False pipeline mode).
+
+    Why not `parse_timestamp_array` per column there: as a single expression
+    its fast-parse transform is substituted into every consumer (`fast_ok`,
+    the miss flag, both fallback arguments) and re-evaluated per appearance —
+    ~6 `try_to_timestamp` sweeps per array per row. Here the fast arrays are
+    materialized as REAL columns first, so each is computed once per row;
+    Catalyst keeps the projection boundary because the aliased expressions
+    are non-cheap and multiply referenced (same contract the clean/dirty
+    split relies on). Every row still crosses the ArrowEvalPython stage (the
+    row-gated UDF), which is why the split variant stays the default for
+    checkpointed inputs."""
+    fast_names = {c: f"__fast_{c}" for c in cols}
+    base = df.select(
+        "*",
+        *[
+            F.transform(
+                F.col(c), lambda x: F.unix_timestamp(_fast_parse(x)).cast("double")
+            ).alias(fast_names[c])
+            for c in cols
+        ],
+    )
+    out = []
+    for c in df.columns:
+        if c not in cols:
+            out.append(F.col(c))
+            continue
+        fn = F.col(fast_names[c])
+        fast_ok = F.filter(fn, lambda x: x.isNotNull())
+        if not use_dateutil_fallback:
+            out.append(fast_ok.alias(c))
+            continue
+        miss = _array_miss(F.col(c), fn)
+        combined = _dateutil_epoch_array(
+            F.when(miss, F.col(c)), F.when(miss, fn)
+        )
+        out.append(F.when(miss, combined).otherwise(fast_ok).alias(c))
+    return base.select(*out)

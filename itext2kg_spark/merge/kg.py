@@ -42,8 +42,8 @@ from itext2kg_spark.config import PipelineConfig
 from itext2kg_spark.extract.embed import with_embedding
 from itext2kg_spark.functions.normalize import norm_label, norm_name, norm_predicate
 from itext2kg_spark.functions.timeparse import (
-    parse_timestamp_array,
     parse_timestamp_array_columns,
+    parse_timestamp_array_inline,
 )
 from itext2kg_spark.functions.vectors import unit
 from itext2kg_spark.merge.resolve import resolve_items
@@ -282,14 +282,13 @@ def canonicalize_kg(
     #    broadcast joins run ONCE over the branch union (splitting after the
     #    joins executed them once per branch — round-2 finding).
     #  * no-materialize mode — the split would re-run the extractor once per
-    #    branch, so the row-gated single-pass UDF is used instead (this
-    #    mode's lineage is Python mapInPandas stages anyway).
+    #    branch, so the single-pass row-gated variant is used instead (one
+    #    scan; fast arrays materialized as columns so the per-element
+    #    try_to_timestamp sweep runs once per row, not per consumer).
     if cfg.materialize_quintuples:
         q_parsed = parse_timestamp_array_columns(q, ["t_start", "t_end"])
     else:
-        q_parsed = q.withColumn(
-            "t_start", parse_timestamp_array(F.col("t_start"))
-        ).withColumn("t_end", parse_timestamp_array(F.col("t_end")))
+        q_parsed = parse_timestamp_array_inline(q, ["t_start", "t_end"])
     mentions = (
         q_parsed.join(F.broadcast(sm), ["subj_name", "subj_label"])
         .join(F.broadcast(om), ["obj_name", "obj_label"])

@@ -80,3 +80,50 @@ def test_array_parse_no_fallback_flag(spark):
         parse_timestamp_array(F.col("a"), use_dateutil_fallback=False).alias("p")
     ).collect()[0]
     assert row["p"] == [_dateutil_utc("2025-01-01")]
+
+
+def test_array_inline_variant_matches_expression_form(spark):
+    """parse_timestamp_array_inline (single-pass row-gated, fast arrays
+    materialized as columns) must be row-identical to the expression form
+    across fast/fuzzy/garbage/empty/null shapes, on BOTH array columns."""
+    from itext2kg_spark.functions.timeparse import parse_timestamp_array_inline
+
+    arrays = [
+        ["July 17th, 2025", "17.07.2025"],
+        ["2025-01-01", "July 17th, 2025", "nope"],
+        ["2025-01-01", "2025-02-02"],
+        [],
+        None,
+    ]
+    rows = [(i, a, list(reversed(a)) if a else a) for i, a in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "id long, a array<string>, b array<string>")
+    got = {
+        r["id"]: (r["a"], r["b"])
+        for r in parse_timestamp_array_inline(df, ["a", "b"]).collect()
+    }
+    exp = {
+        r["id"]: (r["a"], r["b"])
+        for r in df.select(
+            "id",
+            parse_timestamp_array(F.col("a")).alias("a"),
+            parse_timestamp_array(F.col("b")).alias("b"),
+        ).collect()
+    }
+    assert got == exp
+
+    nf = {
+        r["id"]: r["a"]
+        for r in parse_timestamp_array_inline(
+            df, ["a"], use_dateutil_fallback=False
+        ).collect()
+    }
+    nf_exp = {
+        r["id"]: r["a"]
+        for r in df.select(
+            "id",
+            parse_timestamp_array(
+                F.col("a"), use_dateutil_fallback=False
+            ).alias("a"),
+        ).collect()
+    }
+    assert nf == nf_exp
