@@ -543,6 +543,12 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_tokens(spark, sf_dir):
+    from itext2kg_spark.functions.text import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
 def _q_kg_build_graph(spark, sf_dir):  # rows-only: full similarity-merge path
     from itext2kg_spark.config import ATOM
     from itext2kg_spark.extract.embed import HashEmbedder
@@ -692,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "text_tokens": _q_text_tokens,
     }.items()}
 
 
@@ -1094,6 +1101,24 @@ FROM c
         "text_fingerprint": """
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+        # GPT-2-style pre-tokenizer piece counting (functions/text.py
+        # BPE_PIECE_RE verbatim, quotes doubled for the SQL literal)
+        "text_tokens": """
+WITH b AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_extract_all(text,
+             '(''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+)', 1),
+             p -> regexp_matches(p, '\\S'))) AS n_bpe,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_ws AS BIGINT) AS n_ws_tokens,
+       CAST(n_bpe AS BIGINT) AS n_bpe_pieces,
+       CAST(CASE WHEN n_bpe > 0 THEN floor(len(text) * 10000.0 / n_bpe) ELSE 0 END AS BIGINT) AS chars_per_piece_10k
+FROM b
 """,
         # E2 capitalized-span extraction after the deterministic
         # capitalize-long-tokens pre-step (see _q_text_entities)

@@ -95,3 +95,36 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     content fingerprint used for exact-dedup keys)."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
+
+
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead, so the
+# DuckDB oracle's regexp_extract_all tokenizes identically — both engines
+# are leftmost-first over the same alternation order). Pieces: contraction
+# suffixes, optionally-space-prefixed letter runs / digit runs / symbol
+# runs, then residual whitespace runs.
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokenizer pieces (whitespace runs excluded) —
+    the standard proxy for LLM token cost over a web-text corpus."""
+    pieces = F.regexp_extract_all(text, F.lit(f"({BPE_PIECE_RE})"), 1)
+    # rlike \S, not trim != '': SQL trim strips only U+0020, so a tab/newline
+    # run would count as a piece (and Python .strip() would disagree)
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id, n_ws_tokens, n_bpe_pieces, chars_per_piece_10k.
+
+    Whitespace tokens and BPE-ish pre-tokenizer pieces side by side;
+    chars_per_piece ~ the compression ratio LLM-cost estimators use."""
+    t = F.col(text_col)
+    n_ws = token_count(t)
+    n_bpe = bpe_token_count(t)
+    return docs.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_pieces"),
+        _ratio10k(F.length(t), n_bpe).alias("chars_per_piece_10k"),
+    )

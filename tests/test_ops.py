@@ -239,3 +239,39 @@ def test_ann_ivf_recall(spark):
            ann_topk_ivf(q, vecs, k=5, n_cells=8, n_probe=3).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_bpe_token_count_matches_re(spark):
+    """BPE-ish piece counting: Spark's Java-regex tokenization must agree
+    with Python re (leftmost-first over the same alternation) on contraction
+    / mixed-alnum / whitespace edges — the same property the DuckDB oracle
+    relies on (RE2 is leftmost-first too)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from itext2kg_spark.functions.text import BPE_PIECE_RE, token_counts
+
+    texts = [
+        "it's a test",
+        "don't stop",
+        "abc123!@# def",
+        "  leading",
+        "",
+        "CamelCase99'll",
+        "a'sb",
+        "x''y",
+        "multi  spaces\tand\nnewlines",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_pieces"])
+        for r in token_counts(df).collect()
+    }
+    rx = re.compile(BPE_PIECE_RE)
+    for i, t in enumerate(texts):
+        n_bpe = sum(1 for m in rx.finditer(t) if m.group(0).strip() != "")
+        n_ws = len(t.split()) if t.strip() else 0
+        assert got[i] == (n_ws, n_bpe), f"{t!r}: {got[i]} != {(n_ws, n_bpe)}"
