@@ -17,12 +17,14 @@ Semantic core reproduced (SURVEY.md §2.7; matcher.py:176-232):
 Two physical strategies, chosen by distinct-item count (mirroring Spark's own
 small-side/broadcast reasoning):
 
-  * driver path (n <= broadcast_limit): one collect of (keys, unit-vector,
-    flags), a BLAS n x n cosine, argmax linking, union-find, representative
-    pick — microseconds of driver CPU, ONE Spark action. A batch's distinct
-    entity set is orders of magnitude smaller than its mention table, so this
-    is the common case; the latency-critical serial path of every batch stays
-    at ~2 jobs.
+  * driver path (n <= broadcast_limit): ONE Spark action — an over-fetched
+    limit(n+1) collect of the full item rows that both picks the path and
+    feeds it — then a BLAS n x n cosine, argmax linking, union-find,
+    representative pick (microseconds of driver CPU), with the result built
+    as a LocalRelation so downstream consumers never re-execute upstream
+    lineage. A batch's distinct entity set is orders of magnitude smaller
+    than its mention table, so this is the common case; the latency-critical
+    serial path of every batch stays at ~2 jobs.
   * distributed path (n > broadcast_limit): LSH-banded candidate join +
     vectorized cosine verify + iterative DataFrame connected components
     (merge/components.py) + window-based representative selection. Unbounded
