@@ -310,10 +310,39 @@ def canonicalize_kg(
             existing_edges.select(*EDGE_GROUP_KEYS, *EDGE_LIST_COLS)
         )
 
-    edges = mentions.groupBy(*EDGE_GROUP_KEYS).agg(
-        *[
-            F.array_sort(F.flatten(F.collect_list(c))).alias(c)
-            for c in EDGE_LIST_COLS
-        ]
-    )
+    if cfg.edge_salt > 1:
+        # Two-phase skew-safe list accumulation (north rule: salted
+        # repartition for hot keys). Salt is deterministic per mention (hash
+        # of the observation stamp + provenance — the fields that VARY within
+        # a hot edge), so one hyper-re-observed triple spreads over
+        # cfg.edge_salt reduce tasks in phase 1; phase 2 combines the
+        # <= edge_salt partial lists per triple. Output is identical to the
+        # single-phase path: the sort happens once, over the final multiset.
+        salt = F.pmod(
+            F.xxhash64(F.col("t_obs"), F.col("atomic_facts")),
+            F.lit(cfg.edge_salt),
+        )
+        partial = (
+            mentions.withColumn("__salt", salt)
+            .groupBy(*EDGE_GROUP_KEYS, "__salt")
+            .agg(
+                *[
+                    F.flatten(F.collect_list(c)).alias(c)
+                    for c in EDGE_LIST_COLS
+                ]
+            )
+        )
+        edges = partial.groupBy(*EDGE_GROUP_KEYS).agg(
+            *[
+                F.array_sort(F.flatten(F.collect_list(c))).alias(c)
+                for c in EDGE_LIST_COLS
+            ]
+        )
+    else:
+        edges = mentions.groupBy(*EDGE_GROUP_KEYS).agg(
+            *[
+                F.array_sort(F.flatten(F.collect_list(c))).alias(c)
+                for c in EDGE_LIST_COLS
+            ]
+        )
     return entities, edges
