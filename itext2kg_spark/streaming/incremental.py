@@ -23,6 +23,7 @@ dropped the first N micro-batches of a new stream as "replays".
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from itext2kg_spark.pipeline import KGPipeline
 from itext2kg_spark.sources.store import KGStore
@@ -77,10 +78,16 @@ def run_stream_batch(
     existing = store.load(spark)
     ents_prev, edges_prev = existing if existing else (None, None)
     entities, edges = pipe.build_graph(batch_df, ents_prev, edges_prev)
+    from itext2kg_spark.pipeline import partition_lineage
+
+    batch_id = store.next_batch_id()
     store.write_snapshot(
-        store.next_batch_id(),
+        batch_id,
         entities,
         edges,
         metrics={"stream_key": stream_key, "stream_epoch": int(epoch_id)},
+        lineage=partition_lineage(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ),
     )
     return True

@@ -52,6 +52,11 @@ def test_stream_batch_idempotent_replay(spark, tmp_path):
     # empty next batch: no-op, nothing committed
     empty = pages.limit(0)
     assert run_stream_batch(empty, 1, store, pipe) is False
+    # per-partition lineage recorded with the micro-batch snapshot
+    lin = store.load_lineage(spark, 0)
+    assert lin.count() > 0
+    assert set(lin.columns) >= {"partition_id", "rows", "batch_id"}
+    assert sum(r["rows"] for r in lin.collect()) == 10
 
 
 def test_stream_epochs_independent_of_batch_ids(spark, tmp_path):
