@@ -633,11 +633,19 @@ def _q_text_entities(spark, sf_dir):
     from itext2kg_spark.extract.entities import extract_entities
 
     docs = _docs(spark, sf_dir)
+    # ASCII-fold first: Python re's \b is unicode-aware while DuckDB RE2's is
+    # byte/ASCII — a non-ASCII letter adjacent to a span would make the two
+    # engines disagree. DELETE (not blank) the non-ASCII chars: RE2 sees one
+    # multi-byte char as several bytes, so a space substitution would insert
+    # different space counts per engine, while deletion is byte-count-
+    # insensitive. Both sides apply the identical fold, so the oracle holds
+    # on any corpus, not just the ASCII testdata.
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
     cap = docs.select(
         "doc_id",
         F.array_join(
             F.transform(
-                F.split(F.col("text"), " "),
+                F.split(ascii_text, " "),
                 lambda x: F.when(
                     F.length(x) >= 5,
                     F.concat(
@@ -1125,7 +1133,8 @@ FROM b
         "text_entities": r"""
 WITH cap AS (
   SELECT doc_id,
-         array_to_string(list_transform(string_split(text, ' '),
+         array_to_string(list_transform(
+           string_split(regexp_replace(text, '[^\x00-\x7F]', '', 'g'), ' '),
            x -> CASE WHEN length(x) >= 5
                      THEN upper(substr(x,1,1)) || substr(x,2) ELSE x END), ' ') AS text
   FROM documents

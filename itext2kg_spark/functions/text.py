@@ -24,6 +24,11 @@ def tokens_col(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
+    # Known quirk, kept deliberately: trim strips only U+0020 in both Spark
+    # and DuckDB, so text with trailing '\t'/'\n' counts one phantom empty
+    # token — identically in the engine and the SQL oracle (the two stay in
+    # lockstep; web-text inputs should be whitespace-normalized upstream,
+    # e.g. via fingerprint()'s normalizer).
     return F.when(F.trim(text) == "", F.lit(0)).otherwise(
         F.size(tokens_col(text))
     )

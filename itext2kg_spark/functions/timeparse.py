@@ -130,6 +130,24 @@ def parse_timestamp_array(col: Column, use_dateutil_fallback: bool = True) -> Co
     return F.when(miss, combined).otherwise(fast_ok)
 
 
+def _with_fast_arrays(df, cols: list[str]):
+    """Project the Catalyst fast-parse of each array column as a REAL column
+    (`__fast_<c>`) so it evaluates once per row however many consumers read
+    it (Catalyst keeps the projection boundary: the aliases are non-cheap and
+    multiply referenced). Shared by the split and inline variants."""
+    fast_names = {c: f"__fast_{c}" for c in cols}
+    base = df.select(
+        "*",
+        *[
+            F.transform(
+                F.col(c), lambda x: F.unix_timestamp(_fast_parse(x)).cast("double")
+            ).alias(fast_names[c])
+            for c in cols
+        ],
+    )
+    return base, fast_names
+
+
 def _array_miss(col: Column, fast: Column) -> Column:
     return F.coalesce(
         F.exists(
@@ -155,16 +173,7 @@ def parse_timestamp_array_columns(
     should be (cheaply recomputable or) checkpointed since both branches scan
     it.
     """
-    fast_names = {c: f"__fast_{c}" for c in cols}
-    base = df.select(
-        "*",
-        *[
-            F.transform(
-                F.col(c), lambda x: F.unix_timestamp(_fast_parse(x)).cast("double")
-            ).alias(fast_names[c])
-            for c in cols
-        ],
-    )
+    base, fast_names = _with_fast_arrays(df, cols)
     if not use_dateutil_fallback:
         sel = [
             F.filter(F.col(fast_names[c]), lambda x: x.isNotNull()).alias(c)
@@ -216,16 +225,7 @@ def parse_timestamp_array_inline(
     split relies on). Every row still crosses the ArrowEvalPython stage (the
     row-gated UDF), which is why the split variant stays the default for
     checkpointed inputs."""
-    fast_names = {c: f"__fast_{c}" for c in cols}
-    base = df.select(
-        "*",
-        *[
-            F.transform(
-                F.col(c), lambda x: F.unix_timestamp(_fast_parse(x)).cast("double")
-            ).alias(fast_names[c])
-            for c in cols
-        ],
-    )
+    base, fast_names = _with_fast_arrays(df, cols)
     out = []
     for c in df.columns:
         if c not in cols:

@@ -322,7 +322,7 @@ def canonicalize_kg(
             F.xxhash64(F.col("t_obs"), F.col("atomic_facts")),
             F.lit(cfg.edge_salt),
         )
-        partial = (
+        agg_input = (
             mentions.withColumn("__salt", salt)
             .groupBy(*EDGE_GROUP_KEYS, "__salt")
             .agg(
@@ -332,17 +332,12 @@ def canonicalize_kg(
                 ]
             )
         )
-        edges = partial.groupBy(*EDGE_GROUP_KEYS).agg(
-            *[
-                F.array_sort(F.flatten(F.collect_list(c))).alias(c)
-                for c in EDGE_LIST_COLS
-            ]
-        )
     else:
-        edges = mentions.groupBy(*EDGE_GROUP_KEYS).agg(
-            *[
-                F.array_sort(F.flatten(F.collect_list(c))).alias(c)
-                for c in EDGE_LIST_COLS
-            ]
-        )
+        agg_input = mentions
+    edges = agg_input.groupBy(*EDGE_GROUP_KEYS).agg(
+        *[
+            F.array_sort(F.flatten(F.collect_list(c))).alias(c)
+            for c in EDGE_LIST_COLS
+        ]
+    )
     return entities, edges

@@ -287,7 +287,11 @@ def resolve_items(
     has_exact_hit = "exact_hit" in items.columns
     spark = items.sparkSession
 
-    limit = cfg.effective_broadcast_limit(emb_dim)
+    # Budget TWO vectors per collected row: the full-row collect carries both
+    # the raw `embedding` and the unit `emb` column for the entity/predicate
+    # tables (budgeting one vector would let driver heap reach ~2x the
+    # configured byte ceiling at wide embedding dims).
+    limit = cfg.effective_broadcast_limit(2 * emb_dim if emb_dim else None)
     rows = None
     with_id = None
     if n_items is None:

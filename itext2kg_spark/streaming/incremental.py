@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from itext2kg_spark.pipeline import KGPipeline
+from itext2kg_spark.pipeline import KGPipeline, partition_lineage
 from itext2kg_spark.sources.store import KGStore
 
 
@@ -78,8 +78,6 @@ def run_stream_batch(
     existing = store.load(spark)
     ents_prev, edges_prev = existing if existing else (None, None)
     entities, edges = pipe.build_graph(batch_df, ents_prev, edges_prev)
-    from itext2kg_spark.pipeline import partition_lineage
-
     batch_id = store.next_batch_id()
     store.write_snapshot(
         batch_id,
