@@ -237,3 +237,58 @@ def test_salted_edge_aggregation_identical_output(spark):
         )
     )
     assert base == salted and len(base) > 0
+
+
+def test_driver_and_distributed_paths_equivalent_randomized(spark):
+    """Randomized equivalence of the two physical resolution strategies: the
+    driver BLAS path and the LSH/CC distributed path must induce the same
+    clustering (keys grouped by component) and the same key -> canonical-key
+    mapping, for both is_existing mixes and both threshold regimes. comp ids
+    themselves differ by construction (indices vs xxhash64), so the partition
+    structure is compared, not the labels."""
+    import random
+
+    from itext2kg_spark.config import MatchConfig
+    from itext2kg_spark.merge.resolve import resolve_items
+
+    rnd = random.Random(1234)
+
+    def run(cfg, rows):
+        df = spark.createDataFrame(
+            rows, "name string, first_seen long, is_existing boolean,"
+            " emb array<double>"
+        )
+        out = resolve_items(
+            df, cfg, 0.9, key_cols=["name"], emb_col="emb",
+            order_col="first_seen",
+        ).collect()
+        groups = {}
+        for r in out:
+            groups.setdefault(r["comp"], set()).add(r["name"])
+        partition = frozenset(frozenset(g) for g in groups.values())
+        canon = {r["name"]: r["canon_name"] for r in out}
+        return partition, canon
+
+    for trial in range(4):
+        # clustered unit vectors in 2D: a few base angles, per-item jitter
+        # small enough that same-base cosine > 0.9 > cross-base cosine
+        import math
+
+        rows = []
+        n_bases = rnd.randint(2, 4)
+        bases = [rnd.uniform(0, math.pi) for _ in range(n_bases)]
+        for i in range(rnd.randint(4, 12)):
+            a = bases[rnd.randrange(n_bases)] + rnd.uniform(-0.05, 0.05)
+            rows.append(
+                (
+                    f"n{i}",
+                    i,
+                    rnd.random() < 0.3,
+                    [math.cos(a), math.sin(a)],
+                )
+            )
+        driver_cfg = MatchConfig(candidate_method="broadcast")
+        dist_cfg = MatchConfig(broadcast_limit=0, candidate_method="broadcast")
+        got_d = run(driver_cfg, rows)
+        got_x = run(dist_cfg, rows)
+        assert got_d == got_x, f"trial {trial}: {got_d} != {got_x}"
