@@ -292,3 +292,22 @@ def test_driver_and_distributed_paths_equivalent_randomized(spark):
         got_d = run(driver_cfg, rows)
         got_x = run(dist_cfg, rows)
         assert got_d == got_x, f"trial {trial}: {got_d} != {got_x}"
+
+
+def test_empty_batch_build_graph(spark):
+    """Zero-page batches must produce empty (entities, edges) standalone AND
+    leave an existing store state untouched when merged incrementally —
+    exercises the n=0 driver-resolve path and its empty LocalRelation."""
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import synth_pages
+
+    pipe = KGPipeline()
+    empty = synth_pages(spark, 5, seed=1).limit(0)
+    ents, edges = pipe.build_graph(empty)
+    assert ents.count() == 0 and edges.count() == 0
+
+    prev_e, prev_d = pipe.build_graph(synth_pages(spark, 20, seed=3))
+    prev_e, prev_d = prev_e.localCheckpoint(), prev_d.localCheckpoint()
+    e2, d2 = pipe.build_graph(empty, prev_e, prev_d)
+    assert e2.count() == prev_e.count()
+    assert sorted(map(tuple, d2.collect())) == sorted(map(tuple, prev_d.collect()))
