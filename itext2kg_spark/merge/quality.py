@@ -1,5 +1,5 @@
 """Quintuple-quality, stability, and exhaustivity evaluation (the
-reference's three remaining evaluation surfaces) as Spark operators.
+reference's evaluation surfaces) as Spark operators.
 
 Reference semantics reproduced:
   * quality — evaluation/quintuples_quality/calculate_quintuples_quality.py
@@ -8,14 +8,29 @@ Reference semantics reproduced:
     (pred_idx, gold_idx) enumeration order), greedy one-to-one selection,
     then each match classified into exactly one temporal category
     (MATCH_t > OM_t > HALL_t > residual OM_t) with MATCH/HALL/OM counts.
-  * stability — evaluation/stability/calculate_stability_jaccard.py:209-358
-    (`find_bidirectional_matches_jaccard` + `calculate_row_stability_jaccard`):
-    mutual-best (argmax both directions, > threshold) matching validated by
-    temporal similarity, Jaccard = |matched| / (|run1| + |run2| - |matched|).
-  * exhaustivity — evaluation/exhaustivity/plot_exhaustivity_quintuples.py
-    :109-204 (`find_matches_quintuples_optimized`): per-predicted argmax
+  * stability (Jaccard) — evaluation/stability/calculate_stability_jaccard.py
+    :209-358 (`find_bidirectional_matches_jaccard` +
+    `calculate_row_stability_jaccard`): mutual-best (argmax both directions,
+    > threshold) matching validated by temporal similarity,
+    Jaccard = |matched| / (|run1| + |run2| - |matched|).
+  * stability (row / avg-max) — evaluation/stability/calculate_stability.py
+    :83-261 (`format_quintuple_text` + `calculate_row_stability`): the older
+    thresholdless variant — embed "{s} {p} {o} {t_start}-{t_end}" per
+    quintuple, similarity = mean over run1 rows of the row-max cosine, plus
+    the full-matrix mean; empty-side shortcuts return 1.0/0.0 with a
+    comparison_type tag.
+  * exhaustivity (quintuples) — evaluation/exhaustivity/
+    plot_exhaustivity_quintuples.py:109-204
+    (`find_matches_quintuples_optimized`): per-predicted argmax
     > threshold marks the gold index matched; recall = |unique gold matched|
     / |gold|, recall_t additionally requires t_start AND t_end similarity.
+  * exhaustivity (factoids) — evaluation/exhaustivity/
+    plot_exhaustivity_factoids.py:242-364 (`find_matches_factoids_optimized`
+    with its inner `extract_temporal_info_from_text` :263-290 and
+    `temporal_lists_overlap` :323-338): factoids are free-text strings; the
+    same per-predicted argmax marks gold factoids matched, and recall_t
+    requires the date SETS mined from the two texts (every <=10-word phrase
+    run through the parser) to overlap (both-empty counts as overlap).
 
 Shared temporal logic (all three scripts define it identically):
 `is_empty_temporal` treats None/''/'none' as empty (note: an empty LIST is
@@ -53,17 +68,34 @@ from itext2kg_spark.extract.embed import hash_embed_texts
 # ---------------------------------------------------------------------------
 
 
-def parse_datetime(value):
+#: Fixed anchor for partially-specified dates: missing components (day,
+#: month) resolve against 2020-01-01 instead of "now", so "June 2020" parses
+#: to 2020-06-01 on every host on every day — the analog of dateparser's
+#: PREFER_DAY_OF_MONTH='first' setting the factoid-exhaustivity reference
+#: passes (plot_exhaustivity_factoids.py:276), and a determinism requirement
+#: for the oracle queries.
+_DEFAULT_ANCHOR = None  # set lazily (datetime import kept out of hot path)
+
+
+def parse_datetime(value, settings=None):
     """dateutil parse-or-None. The engine-side analog of `dateparser.parse`
     as the reference's `temporal_similar` uses it (calculate_quintuples_
     quality.py:173-179): returns a datetime on success, None on any failure
-    (dateparser returns None; dateutil raises — normalized here)."""
+    (dateparser returns None; dateutil raises — normalized here). `settings`
+    is accepted and ignored so this function can shim `dateparser.parse`
+    call sites that pass dateparser settings dicts
+    (plot_exhaustivity_factoids.py:276)."""
+    global _DEFAULT_ANCHOR
     from dateutil import parser as dparser
 
     if value is None:
         return None
+    if _DEFAULT_ANCHOR is None:
+        from datetime import datetime
+
+        _DEFAULT_ANCHOR = datetime(2020, 1, 1)
     try:
-        return dparser.parse(str(value))
+        return dparser.parse(str(value), default=_DEFAULT_ANCHOR)
     except Exception:
         return None
 
@@ -91,6 +123,26 @@ def temporal_similar(pred_val, gold_val, parse=parse_datetime) -> bool:
         return str(pred_val).strip().lower() == str(gold_val).strip().lower()
 
 
+#: Per-document pair budget for the O(n*m) scoring kernels. Real documents
+#: carry tens of quintuples/factoids (NYT golden corpus: <=78), so the
+#: kernels are constant-bounded per group; a pathological document with
+#: thousands of rows would silently materialize a huge cosine matrix and
+#: above-threshold pair list inside one Arrow group. Exceeding the budget
+#: raises loudly instead — callers with a legitimately gigantic document can
+#: pass a larger `max_pairs`.
+MAX_GROUP_PAIRS = 4_000_000
+
+
+def _guard_pairs(n1: int, n2: int, max_pairs: int, what: str) -> None:
+    if n1 * n2 > max_pairs:
+        raise ValueError(
+            f"{what}: one document group has {n1} x {n2} = {n1 * n2} "
+            f"candidate pairs (> max_pairs={max_pairs}); per-document "
+            f"scoring is quadratic by reference semantics — split the "
+            f"document or raise max_pairs explicitly"
+        )
+
+
 def _cosine_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     A = np.asarray(A, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
@@ -115,7 +167,8 @@ def _temporal(q, i):
 # ---------------------------------------------------------------------------
 
 
-def score_quality(quintuples, gold_quintuples, embed_fn=None, threshold=0.7):
+def score_quality(quintuples, gold_quintuples, embed_fn=None, threshold=0.7,
+                  max_pairs=MAX_GROUP_PAIRS):
     """Greedy one-to-one quality metrics for ONE document.
 
     Mirrors `calculate_comprehensive_metrics` (calculate_quintuples_quality
@@ -142,6 +195,7 @@ def score_quality(quintuples, gold_quintuples, embed_fn=None, threshold=0.7):
         zeros["hall_count"] = len(quintuples)
         return zeros
 
+    _guard_pairs(len(quintuples), len(gold_quintuples), max_pairs, "score_quality")
     sims = _cosine_matrix(
         embed(_texts(quintuples)), embed(_texts(gold_quintuples))
     )
@@ -200,7 +254,8 @@ def _stability_text(q) -> str:
     return " ".join("" if q[i] is None else str(q[i]) for i in range(3))
 
 
-def score_stability(quintuples1, quintuples2, embed_fn=None, threshold=0.7):
+def score_stability(quintuples1, quintuples2, embed_fn=None, threshold=0.7,
+                    max_pairs=MAX_GROUP_PAIRS):
     """Mutual-best bidirectional matching + temporal validation -> Jaccard
     for ONE row (calculate_row_stability_jaccard /
     find_bidirectional_matches_jaccard, calculate_stability_jaccard.py
@@ -213,6 +268,7 @@ def score_stability(quintuples1, quintuples2, embed_fn=None, threshold=0.7):
     if c1 == 0 or c2 == 0:
         return {"count1": c1, "count2": c2, "matched_count": 0, "jaccard": 0.0}
 
+    _guard_pairs(c1, c2, max_pairs, "score_stability")
     sims = _cosine_matrix(
         embed([_stability_text(q) for q in quintuples1]),
         embed([_stability_text(q) for q in quintuples2]),
@@ -246,7 +302,8 @@ def score_stability(quintuples1, quintuples2, embed_fn=None, threshold=0.7):
     }
 
 
-def score_exhaustivity(quintuples, gold_quintuples, embed_fn=None, threshold=0.7):
+def score_exhaustivity(quintuples, gold_quintuples, embed_fn=None, threshold=0.7,
+                       max_pairs=MAX_GROUP_PAIRS):
     """Per-predicted argmax matching -> unique-gold recall / recall_t for ONE
     document (find_matches_quintuples_optimized,
     plot_exhaustivity_quintuples.py:109-204). Returns count dict."""
@@ -258,6 +315,7 @@ def score_exhaustivity(quintuples, gold_quintuples, embed_fn=None, threshold=0.7
             "total_predicted": tp, "total_gold": tg,
             "matched_gold": 0, "matched_gold_t": 0,
         }
+    _guard_pairs(tp, tg, max_pairs, "score_exhaustivity")
     sims = _cosine_matrix(
         embed(_texts(quintuples)), embed(_texts(gold_quintuples))
     )
@@ -281,6 +339,157 @@ def score_exhaustivity(quintuples, gold_quintuples, embed_fn=None, threshold=0.7
 
 
 # ---------------------------------------------------------------------------
+# factoid exhaustivity (plot_exhaustivity_factoids.py:242-364)
+# ---------------------------------------------------------------------------
+
+
+def extract_temporal_dates(text, parse=parse_datetime):
+    """Date mining from free text — the reference's inner
+    `extract_temporal_info_from_text` (plot_exhaustivity_factoids.py:263-290):
+    every whitespace phrase of 1..9 words is fed to the parser; successful
+    parses contribute their calendar date; the result is the deduplicated
+    list. (The reference calls `dateparser.parse(phrase,
+    settings={'PREFER_DAY_OF_MONTH': 'first'})`; this engine's parse_datetime
+    anchors partial dates at 2020-01-01, and the parity tests shim
+    `dateparser` with parse_datetime so both systems mine with one parser.)"""
+    if not text or not isinstance(text, str):
+        return []
+    try:
+        dates = []
+        words = text.split()
+        for i in range(len(words)):
+            for j in range(i + 1, min(i + 10, len(words) + 1)):
+                phrase = " ".join(words[i:j])
+                try:
+                    parsed = parse(phrase)
+                    if parsed:
+                        dates.append(parsed.date())
+                except (ValueError, TypeError, AttributeError):
+                    continue
+        return list(set(dates))
+    except Exception:
+        return []
+
+
+def temporal_lists_overlap(pred_dates, gold_dates) -> bool:
+    """plot_exhaustivity_factoids.py:323-338: both-empty -> True, one-empty
+    -> False, else any exact date equality."""
+    if not pred_dates and not gold_dates:
+        return True
+    if not pred_dates or not gold_dates:
+        return False
+    for pred_date in pred_dates:
+        for gold_date in gold_dates:
+            if pred_date == gold_date:
+                return True
+    return False
+
+
+def score_factoid_exhaustivity(
+    factoids,
+    gold_factoids,
+    embed_fn=None,
+    threshold=0.7,
+    parse=parse_datetime,
+    max_pairs=MAX_GROUP_PAIRS,
+):
+    """Per-predicted argmax matching over factoid TEXTS -> unique-gold
+    recall / recall_t counts for ONE document
+    (`find_matches_factoids_optimized`, plot_exhaustivity_factoids.py
+    :242-364). recall_t validates by overlap of the date sets mined from the
+    matched texts rather than by quintuple temporal fields. Returns counts;
+    the reference's empty-input shortcut (recall = recall_t = 0.0) falls out
+    of matched counts being 0."""
+    embed = embed_fn or hash_embed_texts
+    tp = len(factoids or [])
+    tg = len(gold_factoids or [])
+    if tp == 0 or tg == 0:
+        return {
+            "total_pred": tp, "total_gold": tg,
+            "matched_gold": 0, "matched_gold_t": 0,
+        }
+    _guard_pairs(tp, tg, max_pairs, "score_factoid_exhaustivity")
+    # the reference embeds str(f) but mines dates from the RAW item (non-str
+    # items mine to []) — preserved exactly
+    sims = _cosine_matrix(
+        embed([str(f) for f in factoids]),
+        embed([str(gf) for gf in gold_factoids]),
+    )
+    matched: set[int] = set()
+    matched_t: set[int] = set()
+    for i, factoid in enumerate(factoids):
+        j = int(np.argmax(sims[i]))
+        if sims[i, j] > threshold:
+            matched.add(j)
+            pred_dates = extract_temporal_dates(factoid, parse)
+            gold_dates = extract_temporal_dates(gold_factoids[j], parse)
+            if temporal_lists_overlap(pred_dates, gold_dates):
+                matched_t.add(j)
+    return {
+        "total_pred": tp,
+        "total_gold": tg,
+        "matched_gold": len(matched),
+        "matched_gold_t": len(matched_t),
+    }
+
+
+# ---------------------------------------------------------------------------
+# row stability, non-Jaccard variant (calculate_stability.py:83-261)
+# ---------------------------------------------------------------------------
+
+
+def format_quintuple_text(q) -> str:
+    """calculate_stability.py:83-113 semantics: "{s} {p} {o} {ts}-{te}" with
+    None components rendered '', and the temporal suffix present only when
+    t_start or t_end is truthy after str()-coercion of present values."""
+    if not q or len(q) < 3:
+        return ""
+    subject = str(q[0]) if q[0] is not None else ""
+    predicate = str(q[1]) if q[1] is not None else ""
+    obj = str(q[2]) if q[2] is not None else ""
+    t_start = str(q[3]) if len(q) > 3 and q[3] is not None else ""
+    t_end = str(q[4]) if len(q) > 4 and q[4] is not None else ""
+    temporal = f"{t_start}-{t_end}" if (t_start or t_end) else ""
+    if temporal:
+        return f"{subject} {predicate} {obj} {temporal}"
+    return f"{subject} {predicate} {obj}"
+
+
+def score_row_stability(quintuples1, quintuples2, embed_fn=None,
+                        max_pairs=MAX_GROUP_PAIRS):
+    """Thresholdless avg-max-cosine stability for ONE row
+    (`calculate_row_stability`, calculate_stability.py:197-261): embeddings
+    are computed over the NON-EMPTY formatted texts only
+    (calculate_quintuple_embeddings:149-153 filters before embedding, while
+    count1/count2 keep the raw list lengths), similarity is the mean of
+    per-row-of-set1 max cosines, overall_mean the full-matrix mean."""
+    embed = embed_fn or hash_embed_texts
+    c1 = len(quintuples1 or [])
+    c2 = len(quintuples2 or [])
+    if c1 == 0 and c2 == 0:
+        return {"count1": 0, "count2": 0, "similarity": 1.0,
+                "overall_mean": 0.0, "comparison_type": "both_empty"}
+    if c1 == 0 or c2 == 0:
+        return {"count1": c1, "count2": c2, "similarity": 0.0,
+                "overall_mean": 0.0, "comparison_type": "one_empty"}
+    texts1 = [t for t in (format_quintuple_text(q) for q in quintuples1) if t.strip()]
+    texts2 = [t for t in (format_quintuple_text(q) for q in quintuples2) if t.strip()]
+    if not texts1 or not texts2:
+        return {"count1": c1, "count2": c2, "similarity": 0.0,
+                "overall_mean": 0.0, "comparison_type": "no_embeddings"}
+    _guard_pairs(len(texts1), len(texts2), max_pairs, "score_row_stability")
+    sims = _cosine_matrix(embed(texts1), embed(texts2))
+    max_similarities = sims.max(axis=1)
+    return {
+        "count1": c1,
+        "count2": c2,
+        "similarity": float(np.mean(max_similarities)),
+        "overall_mean": float(np.mean(sims)),
+        "comparison_type": "full_comparison",
+    }
+
+
+# ---------------------------------------------------------------------------
 # Spark operators: cogrouped applyInPandas, one Arrow group per document
 # ---------------------------------------------------------------------------
 
@@ -299,6 +508,11 @@ STABILITY_SCHEMA = (
 EXHAUSTIVITY_SCHEMA = (
     "doc_id long, total_pred long, total_gold long, "
     "matched_gold long, matched_gold_t long"
+)
+
+ROW_STABILITY_SCHEMA = (
+    "doc_id long, count1 long, count2 long, "
+    "similarity double, overall_mean double, comparison_type string"
 )
 
 
@@ -324,8 +538,8 @@ def _doc_id(key, left: pd.DataFrame, right: pd.DataFrame) -> int:
     return int(src["doc_id"].iloc[0])
 
 
-def _cogroup(pred_df: DataFrame, gold_df: DataFrame):
-    cols = ["doc_id"] + _QUINT_COLS
+def _cogroup(pred_df: DataFrame, gold_df: DataFrame, cols=None):
+    cols = ["doc_id"] + (_QUINT_COLS if cols is None else cols)
 
     def fresh(df: DataFrame) -> DataFrame:
         # mint NEW attribute ids per side: when both inputs share lineage
@@ -459,3 +673,73 @@ def quintuple_exhaustivity(
         )
 
     return _cogroup(pred_df, gold_df).applyInPandas(kernel, EXHAUSTIVITY_SCHEMA)
+
+
+def factoid_exhaustivity(
+    pred_df: DataFrame,
+    gold_df: DataFrame,
+    embed_fn=None,
+    threshold: float = 0.7,
+    parse=parse_datetime,
+) -> DataFrame:
+    """Per-document factoid recall / recall_t counts vs gold
+    (plot_exhaustivity_factoids.py:242-364). Inputs: (doc_id, idx, text) —
+    one row per factoid string, idx giving document order. Same cogrouped
+    shape as the quintuple operators: Exchange(doc_id) x2 -> one Arrow group
+    per document; the date mining is O(words) parser calls per factoid,
+    constant-bounded per group, linear in documents."""
+
+    def texts(pdf: pd.DataFrame) -> list[str]:
+        if pdf.empty:
+            return []
+        pdf = pdf.sort_values("idx", kind="stable")
+        return [None if v is None else str(v) for v in pdf["text"]]
+
+    def kernel(key, pred: pd.DataFrame, gold: pd.DataFrame) -> pd.DataFrame:
+        doc = _doc_id(key, pred, gold)
+        m = score_factoid_exhaustivity(
+            texts(pred), texts(gold), embed_fn, threshold, parse
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": doc,
+                    "total_pred": m["total_pred"],
+                    "total_gold": m["total_gold"],
+                    "matched_gold": m["matched_gold"],
+                    "matched_gold_t": m["matched_gold_t"],
+                }
+            ]
+        )
+
+    return _cogroup(pred_df, gold_df, cols=["idx", "text"]).applyInPandas(
+        kernel, EXHAUSTIVITY_SCHEMA
+    )
+
+
+def quintuple_row_stability(
+    run1_df: DataFrame,
+    run2_df: DataFrame,
+    embed_fn=None,
+) -> DataFrame:
+    """Per-document thresholdless avg-max-cosine stability between two runs
+    (calculate_row_stability, calculate_stability.py:197-261) — the older
+    non-Jaccard variant; `quintuple_stability` is the published Jaccard one."""
+
+    def kernel(key, q1: pd.DataFrame, q2: pd.DataFrame) -> pd.DataFrame:
+        doc = _doc_id(key, q1, q2)
+        m = score_row_stability(_tuples(q1), _tuples(q2), embed_fn)
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": doc,
+                    "count1": m["count1"],
+                    "count2": m["count2"],
+                    "similarity": m["similarity"],
+                    "overall_mean": m["overall_mean"],
+                    "comparison_type": m["comparison_type"],
+                }
+            ]
+        )
+
+    return _cogroup(run1_df, run2_df).applyInPandas(kernel, ROW_STABILITY_SCHEMA)

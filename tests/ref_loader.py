@@ -230,6 +230,35 @@ def load_reference_exhaustivity():
         return None
 
 
+def load_reference_exhaustivity_factoids():
+    """evaluation/exhaustivity/plot_exhaustivity_factoids.py — the factoid
+    variant (`find_matches_factoids_optimized`, its inner date mining uses
+    module-level `dateparser`, shimmed to the engine's parse_datetime)."""
+    try:
+        _shim_sklearn()
+        _shim_dateparser()
+        _shim_matplotlib()
+        return _load(
+            "ref_plot_exhaustivity_factoids",
+            "/root/reference/evaluation/exhaustivity/plot_exhaustivity_factoids.py",
+        )
+    except Exception:  # pragma: no cover
+        return None
+
+
+def load_reference_stability_row():
+    """evaluation/stability/calculate_stability.py — the older non-Jaccard
+    avg-max-cosine variant (`calculate_row_stability`)."""
+    try:
+        _shim_sklearn()
+        return _load(
+            "ref_calculate_stability_row",
+            "/root/reference/evaluation/stability/calculate_stability.py",
+        )
+    except Exception:  # pragma: no cover
+        return None
+
+
 def load_reference_costs():
     """evaluation/costs/cost_estimation.py loaded live, with `tiktoken`
     shimmed to the ENGINE's deterministic token pattern (functions/cost.py
