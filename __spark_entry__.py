@@ -676,6 +676,164 @@ def _q_kg_grammar_pipeline(spark, sf_dir):  # rows-only: grammar + temporal path
     )
 
 
+def _key_onehot_embed(texts, dim=16):
+    """Deterministic stand-in embedder for the oracle-checked evaluation
+    variants (the reference uses a paid LLM embedder; `embed_fn` is
+    pluggable). Each text's FIRST whitespace token must look like
+    '<prefix><d>_<i>' (the synthetic corpora guarantee it); the vector is the
+    one-hot basis index (0 if prefix is the gold/base letter else 8) + i%8 —
+    so cosine is EXACTLY 1.0 for same-(prefix-class, i) texts and 0.0
+    otherwise, which is what the DuckDB oracles replicate as an equi-join."""
+    import re
+
+    import numpy as np
+
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for r, t in enumerate(texts):
+        tok = str(t).split()[0]
+        m = re.match(r"([a-z]+?)(\d+)_(\d+)$", tok)
+        if not m:
+            raise ValueError(f"_key_onehot_embed: unkeyed text {t!r}")
+        alt = m.group(1) in ("hall", "x")
+        out[r, (8 if alt else 0) + int(m.group(3)) % 8] = 1.0
+    return out
+
+
+def _synth_eval_factoids(spark, sf_dir):
+    """Deterministic (gold, pred) FACTOID tables (doc_id, idx, text) from
+    documents' doc_id — the factoid-exhaustivity analog of
+    _synth_eval_quintuples. Keys 'g{d}_{i}' are unkeyed-orthogonal under
+    _key_onehot_embed, dates are full ISO dates (the only parseable phrases
+    in the text, so the reference's phrase mining extracts exactly them).
+    Cases on i%5: 0 -> omitted, 1 -> foreign key 'x{d}_{i}' (no match),
+    2 -> identical text (match + temporal overlap, incl. the both-empty
+    rule), 3 -> same key, different date (match, never temporal),
+    4 -> same key, date dropped (match; temporal only when gold also has no
+    date, i.e. odd i)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 8).cast("int"))
+        ).alias("i"),
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = F.col("doc_id")
+    i = F.col("i")
+    key = F.concat(F.lit("g"), s(d), F.lit("_"), s(i))
+    date_g = F.date_add(F.lit("2020-01-01").cast("date"), ((d + i) % 365).cast("int"))
+    date_p = F.date_add(F.lit("2022-06-15").cast("date"), (d % 100).cast("int"))
+    gold_text = F.when(
+        i % 2 == 0, F.concat(key, F.lit(" on "), s(date_g))
+    ).otherwise(key)
+    gold = base.select("doc_id", i.cast("long").alias("idx"), gold_text.alias("text"))
+    pred = base.where(i % 5 != 0).select(
+        "doc_id",
+        i.cast("long").alias("idx"),
+        F.when(i % 5 == 1, F.concat(F.lit("x"), s(d), F.lit("_"), s(i)))
+        .when(i % 5 == 3, F.concat(key, F.lit(" on "), s(date_p)))
+        .when(i % 5 == 4, key)
+        .otherwise(gold_text)
+        .alias("text"),
+    )
+    return gold, pred
+
+
+def _q_kg_exhaustivity_factoids(spark, sf_dir):
+    """Factoid-level argmax recall / recall_t with date-set-overlap temporal
+    validation (find_matches_factoids_optimized,
+    plot_exhaustivity_factoids.py:242-364) per doc — the REAL cogrouped
+    operator with the REAL date miner; the one-hot key embedder makes the
+    text matching equal the oracle's key equi-join."""
+    from itext2kg_spark.merge.quality import factoid_exhaustivity
+
+    gold, pred = _synth_eval_factoids(spark, sf_dir)
+    out = factoid_exhaustivity(pred, gold, embed_fn=_key_onehot_embed, threshold=0.7)
+    return out.select(
+        "doc_id",
+        "total_pred",
+        "total_gold",
+        "matched_gold",
+        "matched_gold_t",
+        F.floor(
+            (F.col("matched_gold").cast("double") / F.col("total_gold")) * 10000
+        ).cast("long").alias("recall_10k"),
+        F.floor(
+            (F.col("matched_gold_t").cast("double") / F.col("total_gold")) * 10000
+        ).cast("long").alias("recall_t_10k"),
+    )
+
+
+def _q_kg_stability_row(spark, sf_dir):
+    """Non-Jaccard row stability (calculate_row_stability,
+    calculate_stability.py:197-261): thresholdless avg-max cosine between the
+    perturbed run and the base run per doc, with the full-matrix mean."""
+    from itext2kg_spark.merge.quality import quintuple_row_stability
+
+    gold, pred = _synth_eval_quintuples(spark, sf_dir)
+    out = quintuple_row_stability(pred, gold, embed_fn=_key_onehot_embed)
+    return out.select(
+        "doc_id",
+        "count1",
+        "count2",
+        F.floor(F.col("similarity") * 10000).cast("long").alias("sim_10k"),
+        F.floor(F.col("overall_mean") * 10000).cast("long").alias("mean_10k"),
+        "comparison_type",
+    )
+
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    """Recall@1 oracle companion to ann_lsh: for every query, the TRUE
+    nearest neighbor (brute-force rank 1 — itself oracle-green) must appear
+    in the LSH result. At (rows=4, bands=32) the weakest true top-1 pair on
+    this corpus has collision probability ~0.99 per band set and the check
+    is deterministic (fixed seed/data), so the oracle is simply TRUE per
+    query — a genuine recall guarantee, not a pinned number."""
+    from itext2kg_spark.similarity.ann import ann_topk_bruteforce, ann_topk_lsh
+
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 20)
+    truth1 = (
+        ann_topk_bruteforce(queries, vecs, k=5)
+        .where(F.col("rank") == 1)
+        .select("query_id", "neighbor_id")
+    )
+    lsh = (
+        ann_topk_lsh(queries, vecs, k=5, rows=4, bands=32)
+        .select("query_id", "neighbor_id")
+        .withColumn("__f", F.lit(True))
+    )
+    return truth1.join(lsh, ["query_id", "neighbor_id"], "left").select(
+        "query_id", F.coalesce(F.col("__f"), F.lit(False)).alias("top1_found")
+    )
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Exactness oracle companion to ann_ivf: with n_probe = n_cells (every
+    cell probed) IVF must return EXACTLY the brute-force top-k — this
+    verifies the quantizer/cell-join/re-rank plumbing end-to-end against the
+    same DuckDB brute-force SQL that backs ann_topk."""
+    from itext2kg_spark.similarity.ann import ann_topk_ivf
+
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < 20)
+    return ann_topk_ivf(queries, vecs, k=5, n_cells=16, n_probe=16).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_dedup_simhash_verified(spark, sf_dir):
+    """SimHash candidates + exact n-gram Jaccard verification — output equals
+    the exact-Jaccard pair set whenever every true pair sits within the
+    Hamming budget (measured: true pairs <= 8 bits of 64; budget 12), so the
+    dedup_ngram SQL is this operator's oracle."""
+    from itext2kg_spark.dedup.simhash import simhash_verified_pairs
+
+    return simhash_verified_pairs(
+        _docs(spark, sf_dir), threshold=0.8, max_hamming=12, bands=16, n=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _wrap(v) for k, v in {
         "kg_token_quintuples": _q_kg_token_quintuples,
@@ -694,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exhaustivity": _q_kg_exhaustivity,
         "kg_distill_pipeline": _q_kg_distill_pipeline,
         "kg_cost": _q_kg_cost,
+        "kg_exhaustivity_factoids": _q_kg_exhaustivity_factoids,
+        "kg_stability_row": _q_kg_stability_row,
         "text_entities": _q_text_entities,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
@@ -703,6 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "dedup_simhash_verified": _q_dedup_simhash_verified,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -793,6 +956,28 @@ def _nn(x):
 
 def _nl(x):
     return _NL.format(x=x)
+
+
+_ANN_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.u, c.u) AS sim
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -942,6 +1127,55 @@ SELECT g.doc_id,
 FROM gc g LEFT JOIN pc p USING (doc_id)
      LEFT JOIN mm m USING (doc_id) LEFT JOIN mt t USING (doc_id)
 """,
+        "kg_exhaustivity_factoids": """
+WITH fbase AS (
+  SELECT doc_id, unnest(range((doc_id % 8) + 1)) AS i FROM documents
+),
+-- case arithmetic mirror of _synth_eval_factoids: matching is key equality
+-- (texts are one-hot-orthogonal by key under the query's embedder), temporal
+-- overlap follows from which side carries which full ISO date (see the
+-- Spark-side docstring): i%5=2 -> identical text (overlap incl. both-empty),
+-- i%5=3 -> disjoint date years (never), i%5=4 -> pred dateless (overlap only
+-- when gold is too, i.e. odd i)
+fagg AS (
+  SELECT doc_id,
+         count(*) AS total_gold,
+         CAST(sum(CASE WHEN i % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS total_pred,
+         CAST(sum(CASE WHEN i % 5 IN (2, 3, 4) THEN 1 ELSE 0 END) AS BIGINT) AS matched_gold,
+         CAST(sum(CASE WHEN i % 5 = 2 OR (i % 5 = 4 AND i % 2 = 1) THEN 1 ELSE 0 END) AS BIGINT) AS matched_gold_t
+  FROM fbase GROUP BY doc_id
+)
+SELECT doc_id, total_pred, total_gold, matched_gold, matched_gold_t,
+       CAST(floor(CAST(matched_gold AS DOUBLE) / total_gold * 10000) AS BIGINT) AS recall_10k,
+       CAST(floor(CAST(matched_gold_t AS DOUBLE) / total_gold * 10000) AS BIGINT) AS recall_t_10k
+FROM fagg
+""",
+        "kg_stability_row": f"""
+WITH {_EVAL_CTE},
+-- avg-max cosine under the one-hot key embedder: every pred row's best match
+-- is its same-key gold row (cosine 1.0) unless the key was hallucinated
+-- (i%5=1 -> cosine 0.0 against everything); similarity = matched/count1 and
+-- overall_mean = matched/(count1*count2), both exact 0/1 sums
+h AS (SELECT doc_id, count(*) AS matched FROM pred WHERE i % 5 <> 1 GROUP BY doc_id)
+SELECT g.doc_id,
+       COALESCE(p.n_pred, 0) AS count1,
+       g.n_gold AS count2,
+       CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0
+            ELSE CAST(floor(CAST(COALESCE(h.matched, 0) AS DOUBLE)
+                            / p.n_pred * 10000) AS BIGINT) END AS sim_10k,
+       CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0
+            ELSE CAST(floor(CAST(COALESCE(h.matched, 0) AS DOUBLE)
+                            / (p.n_pred * g.n_gold) * 10000) AS BIGINT) END AS mean_10k,
+       CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 'one_empty'
+            ELSE 'full_comparison' END AS comparison_type
+FROM gc g LEFT JOIN pc p USING (doc_id) LEFT JOIN h USING (doc_id)
+""",
+        "ann_lsh_recall": """
+SELECT vec_id AS query_id, TRUE AS top1_found
+FROM embeddings WHERE vec_id < 20
+""",
+        "ann_ivf_recall": _ANN_TOPK_SQL,
+        "dedup_simhash_verified": _JACCARD_SQL,
         "kg_cost": f"""
 WITH {_EVAL_CTE},
 tok AS (SELECT '[A-Za-z0-9]+|[^\\x00-\\x20A-Za-z0-9]' AS pat),
@@ -1038,26 +1272,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.u, b.u) >= 0.45
 """,
-        "ann_topk": """
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
-  FROM embeddings
-),
-s AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.u, c.u) AS sim
-  FROM e q JOIN e c ON q.vec_id <> c.vec_id
-  WHERE q.vec_id < 20
-),
-r AS (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-  FROM s
-)
-SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
-""",
+        "ann_topk": _ANN_TOPK_SQL,
         "text_stats": """
 WITH b AS (
   SELECT doc_id, text,

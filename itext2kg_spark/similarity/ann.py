@@ -114,8 +114,8 @@ def ann_topk_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    n_cells: int = 16,
-    n_probe: int = 3,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     seed: int = 7,
     kmeans_iters: int = 5,
     sample_size: int = 10_000,
@@ -130,6 +130,14 @@ def ann_topk_ivf(
     nearest cells, so the scored candidate set is ~n_probe/n_cells of the
     corpus. Deterministic: fixed seed, sample = first `sample_size` rows by
     id order.
+
+    Cell count must grow with corpus size (a fixed count degenerates to a
+    scan as cells fatten), so the default is AUTO: n_cells =
+    ceil(sqrt(N)) bounded to [1, 4096] (the FAISS rule of thumb), with
+    n_probe = max(3, ceil(n_cells/8)) — a constant ~1/8 probe fraction, so
+    recall stays stable across corpus scales without retuning. N is the
+    sample size when the sample is complete, else one corpus count(). Pass
+    explicit n_cells/n_probe to override.
     """
     import numpy as np
     import pandas as pd
@@ -144,6 +152,11 @@ def ann_topk_ivf(
     mat = np.asarray([np.asarray(r["neighbor_emb"]) for r in sample])
     if len(mat) == 0:
         return ann_topk_bruteforce(queries, corpus, k, id_col, emb_col)
+    if n_cells is None:
+        n_corpus = len(mat) if len(mat) < sample_size else c.count()
+        n_cells = max(1, min(int(np.ceil(np.sqrt(n_corpus))), 4096))
+    if n_probe is None:
+        n_probe = max(3, -(-n_cells // 8))
     rng = np.random.Generator(np.random.PCG64(seed))
     n_cells_eff = min(n_cells, len(mat))
     cent = mat[rng.choice(len(mat), n_cells_eff, replace=False)]
