@@ -99,7 +99,9 @@ def _scaling_run(spark, path: str) -> int:
 
 def _scaling_child(cores: int, path: str) -> None:
     """Child entry: run the measured job once (after a small warmup) under an
-    externally-pinned CPU set; print one machine-readable line."""
+    externally-pinned CPU set; print one machine-readable line (best-of-2
+    plus the RAW per-run times, so the recorded artifact shows how noisy the
+    measurement window was)."""
     from dataclasses import replace
 
     from itext2kg_spark.config import ATOM
@@ -108,13 +110,13 @@ def _scaling_child(cores: int, path: str) -> None:
     s = _fresh_spark(cores)
     pipe = KGPipeline()
     pipe.build_graph(s.read.parquet(path).limit(4000))[1].count()  # warm
-    best, n = None, 0
+    raw, n = [], 0
     for _ in range(2):  # best-of-2: damps transient host-tenancy noise
         t0 = time.time()
         n = pipe.build_graph(s.read.parquet(path))[1].count()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"SCALING {cores} {best:.3f} {n}")
+        raw.append(time.time() - t0)
+    best = min(raw)
+    print(f"SCALING {cores} {best:.3f} {n} raw={','.join(f'{t:.3f}' for t in raw)}")
 
 
 def _run_pinned(cores: int, path: str, mode: str = "--scaling-child") -> float:
@@ -141,10 +143,16 @@ def _run_pinned(cores: int, path: str, mode: str = "--scaling-child") -> float:
         str(cores),
         path,
     ]
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     for line in res.stdout.splitlines():
         if line.startswith("SCALING"):
-            return float(line.split()[2])
+            parts = line.split()
+            best = float(parts[2])
+            raw = [best]
+            for p in parts[3:]:
+                if p.startswith("raw="):
+                    raw = [float(x) for x in p[4:].split(",")]
+            return best, raw
     raise RuntimeError(f"scaling child failed: {res.stdout[-500:]} {res.stderr[-500:]}")
 
 
@@ -169,31 +177,57 @@ def _roofline_child(cores: int, path: str) -> None:
     print(f"SCALING {cores} {time.time() - t0:.3f} roofline")
 
 
+def _headline_roofline(spark) -> float:
+    """Same-window host-ceiling probe for the HEADLINE section: a pure-JVM
+    shuffle-free scan+hash+agg over the sf documents table, 6x amortized.
+    Quiet-window value on this host is ~0.15-0.35s at sf0.1; a reading far
+    above that band means the headline numbers were taken in a contended
+    window and overstate the engine's cost (round-3 finding: dedup/text
+    timings drifted +45-100% with ZERO code change)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df.select(F.try_sum(F.xxhash64("text"))).collect()  # warm
+    t0 = time.time()
+    for _ in range(6):
+        df.select(
+            F.try_sum(F.xxhash64("text")),
+            F.sum(F.length("text")),
+        ).collect()
+    return round(time.time() - t0, 3)
+
+
 def main():
     import __spark_entry__ as entry_mod
 
     results: dict[str, float] = {}
+    results_raw: dict[str, list[float]] = {}
     spark = _fresh_spark(CPUS)
     qs = entry_mod.queries()
 
     # Best-of-N per headline query (same rationale as the scaling section's
     # best-of-attempts): shared-tenancy noise only ever DEPRESSES a single
     # measurement — round 2's single-shot protocol recorded a spurious
-    # ann_topk "regression" that a second shot erases.
-    headline_runs = int(os.environ.get("BENCH_HEADLINE_RUNS", "2"))
+    # ann_topk "regression" that a second shot erases. ALL raw attempts are
+    # recorded in the artifact so a noisy window is self-attributing.
+    headline_runs = int(os.environ.get("BENCH_HEADLINE_RUNS", "3"))
     total0 = time.time()
+    roof_pre = _headline_roofline(spark)
     for name in HEADLINE:
-        best, n = None, 0
+        raw, n = [], 0
         for _ in range(headline_runs):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        results[name] = round(best, 3)
+            raw.append(time.time() - t0)
+        results[name] = round(min(raw), 3)
+        results_raw[name] = [round(t, 3) for t in raw]
         print(f"# {name}: {n} rows in {results[name]}s (best of "
-              f"{headline_runs})", file=sys.stderr)
+              f"{headline_runs}: {results_raw[name]})", file=sys.stderr)
+    roof_post = _headline_roofline(spark)
     total = round(sum(results.values()), 3)
+    print(f"# headline roofline probe: pre={roof_pre}s post={roof_post}s "
+          f"(quiet band ~0.15-0.35s at sf0.1)", file=sys.stderr)
 
     # throughput: full-pipeline docs/sec at the configured core count
     t0 = time.time()
@@ -209,9 +243,29 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": results,
+        "queries_raw": results_raw,
+        # host-ceiling probes bracketing the headline loop (see
+        # _headline_roofline): compare against the quiet band to judge
+        # whether this window's numbers are trustworthy
+        "headline_roofline_sec": {"pre": roof_pre, "post": roof_post},
         "sf": SF_DIR,
         "docs_per_sec": docs_per_sec,
     }
+
+    # 10x linearity point (VERDICT r3 stretch): the same full-pipeline
+    # workload at 10x the documents — evidences that throughput holds (or
+    # improves, via fixed-cost amortization) beyond the sf0.1 scale the
+    # plans were audited for.
+    if os.environ.get("BENCH_SKIP_BIG", "") != "1":
+        n_big = int(os.environ.get("BENCH_BIG_PAGES", "100000"))
+        t0 = time.time()
+        _pipeline_run(spark, n_big)
+        big_t = time.time() - t0
+        out["docs_per_sec_10x"] = round(n_big / big_t, 1)
+        out["linearity_10x"] = round(out["docs_per_sec_10x"] / docs_per_sec, 3)
+        print(f"# pipeline {n_big} docs in {big_t:.1f}s -> "
+              f"{out['docs_per_sec_10x']} docs/s "
+              f"(x{out['linearity_10x']} of the 10k-doc rate)", file=sys.stderr)
 
     if not SKIP_SCALING:
         # N vs 4N executors emulated as taskset-pinned 4-core vs 16-core
@@ -226,8 +280,9 @@ def main():
         # measures host saturation instead (see BENCH.md round-2 numbers:
         # 2->8 = 0.94 efficiency, 4->16 = 0.46 with the pure-JVM scan
         # control itself dropping to 0.72 there).
-        path = "/tmp/spark_graft_scaling_pages"
-        _scaling_input(path, SCALING_PAGES)
+        scaling_pages = SCALING_PAGES
+        path = f"/tmp/spark_graft_scaling_pages_{scaling_pages}"
+        _scaling_input(path, scaling_pages)
         # the headline session's JVM (+ its idle Python worker pool) is NOT
         # in the children's pinned CPU sets and skews their measurements —
         # release it before measuring
@@ -242,18 +297,25 @@ def main():
         # whole-bench wall budget: never risk the final JSON line
         budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "2100"))
         best = None
+        all_attempts = []
         # Shared-tenancy background load only ever DEPRESSES a measurement
         # (and the roofline control shows when a window was polluted), so
         # the max over attempts is the least-biased estimate of the
         # engine's true scaling; early-stop once clearly past target.
+        # EVERY attempt (with its raw child timings and same-window roofline
+        # pair) is archived in scaling_attempts: if no window during the run
+        # allowed the target, the artifact itself shows the host ceiling
+        # that prevented it.
         for attempt in range(attempts):
-            scaling, roof = {}, {}
+            scaling, roof, raws = {}, {}, {}
             for cores in (lo, hi):
-                dt = _run_pinned(cores, path)
-                scaling[cores] = round(SCALING_PAGES / dt, 1)
+                dt, raw = _run_pinned(cores, path)
+                scaling[cores] = round(scaling_pages / dt, 1)
+                raws[cores] = [round(t, 3) for t in raw]
                 print(f"# scaling[{attempt}] pinned[{cores}] (2n cpus): "
-                      f"{dt:.1f}s ({scaling[cores]} docs/s)", file=sys.stderr)
-                rdt = _run_pinned(cores, path, mode="--roofline-child")
+                      f"{dt:.1f}s ({scaling[cores]} docs/s, raw {raws[cores]})",
+                      file=sys.stderr)
+                rdt, _ = _run_pinned(cores, path, mode="--roofline-child")
                 roof[cores] = rdt
                 print(f"# roofline[{attempt}] pinned[{cores}]: {rdt:.2f}s",
                       file=sys.stderr)
@@ -264,11 +326,15 @@ def main():
                 "cores_hi": hi,
                 "docs_per_sec_lo": scaling[lo],
                 "docs_per_sec_hi": scaling[hi],
+                "raw_sec_lo": raws[lo],
+                "raw_sec_hi": raws[hi],
                 "efficiency": round(eff, 3),
                 # pure-JVM shuffle-free scan+agg on the same input: the
                 # host's achievable ceiling at the same core pair in the
                 # same measurement window (no Python workers)
                 "roofline_efficiency": round(roof_eff, 3),
+                "roofline_sec_lo": round(roof[lo], 3),
+                "roofline_sec_hi": round(roof[hi], 3),
                 # engine's share of what the host allowed in that window —
                 # the tenancy-noise-adjusted scaling number
                 "efficiency_vs_roofline": round(min(eff / roof_eff, 1.0), 3)
@@ -276,6 +342,7 @@ def main():
                 else None,
                 "attempt": attempt + 1,
             }
+            all_attempts.append(cand)
             if best is None or cand["efficiency"] > best["efficiency"]:
                 best = cand
             if best["efficiency"] >= 0.85:
@@ -284,6 +351,8 @@ def main():
                 print("# scaling: time budget reached", file=sys.stderr)
                 break
         out["scaling"] = best
+        out["scaling_attempts"] = all_attempts
+        out["scaling_pages"] = scaling_pages
 
     print(json.dumps(out))
 
