@@ -1,12 +1,17 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS],
-plus the two-parallelism scaling run (local[8] vs local[32] standing in for N
-vs 4N executors — no real cluster in this sandbox).
+plus the two-parallelism scaling run (taskset-pinned local[1] vs local[4]
+standing in for N vs 4N executors — no real cluster in this sandbox; see the
+pair-choice evidence note at BENCH_SCALING_LO below and in BENCH.md).
 
 Prints ONE JSON line:
   {"metric": "headline_suite", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <dir>,
-   "docs_per_sec": ..., "scaling": {"cores_lo": .., "cores_hi": ..,
-   "docs_per_sec_lo": .., "docs_per_sec_hi": .., "efficiency": ..}}
+   "queries": {name: sec, ...}, "queries_raw": {name: [sec, ...]},
+   "headline_roofline_sec": {"pre": .., "post": ..}, "sf": <dir>,
+   "docs_per_sec": ..., "docs_per_sec_10x": .., "linearity_10x": ..,
+   "scaling": {..best attempt..}, "scaling_attempts": [..all, with raw
+   child times and same-window roofline pairs..],
+   "scaling_saturated_control": {..one 2->8 attempt, archived to show the
+   host's shared-bandwidth wall..}}
 """
 
 from __future__ import annotations
@@ -119,7 +124,7 @@ def _scaling_child(cores: int, path: str) -> None:
     print(f"SCALING {cores} {best:.3f} {n} raw={','.join(f'{t:.3f}' for t in raw)}")
 
 
-def _run_pinned(cores: int, path: str, mode: str = "--scaling-child") -> float:
+def _run_pinned(cores: int, path: str, mode: str = "--scaling-child"):
     """Run the scaling child under an externally-pinned CPU set.
 
     The pinned set is 2*cores hardware threads for local[cores]: one Spark
@@ -128,7 +133,9 @@ def _run_pinned(cores: int, path: str, mode: str = "--scaling-child") -> float:
     BOTH levels and measures contention, not the engine (round-1 protocol —
     its 4->16 efficiency of 0.46 was largely this). 2n pinning models an
     n-slot executor on dedicated hardware while still hard-bounding total
-    CPU, and keeps 2*hi <= 32 for the 4->16 pair on this host."""
+    CPU; with the 1->4 default pair the pinned sets are 2 and 8 of the 32
+    CPUs, keeping both levels clear of the host's ~4-6-core shared-memory-
+    bandwidth wall (see the pair-choice note in main)."""
     import shutil
     import subprocess
 
@@ -268,18 +275,11 @@ def main():
               f"(x{out['linearity_10x']} of the 10k-doc rate)", file=sys.stderr)
 
     if not SKIP_SCALING:
-        # N vs 4N executors emulated as taskset-pinned 4-core vs 16-core
-        # runs of the SAME job on the SAME materialized input. Pinning is
-        # load-bearing: local[n] does not bound actual CPU (the JVM borrows
-        # cores for GC/IO helpers), so unpinned "local[4]" overstates the
-        # small configuration and understates scaling.
-        # Default pair 2 -> 8: with the 2n-CPU pinning rule both levels
-        # leave at least half the 32-CPU host free, so NEITHER level absorbs
-        # the sandbox's background load — the comparison measures the
-        # engine. The 4 -> 16 pair pins the whole machine on the hi side and
-        # measures host saturation instead (see BENCH.md round-2 numbers:
-        # 2->8 = 0.94 efficiency, 4->16 = 0.46 with the pure-JVM scan
-        # control itself dropping to 0.72 there).
+        # N vs 4N executors emulated as taskset-pinned runs of the SAME job
+        # on the SAME materialized input. Pinning is load-bearing: local[n]
+        # does not bound actual CPU (the JVM borrows cores for GC/IO
+        # helpers), so an unpinned small configuration overstates itself
+        # and understates scaling.
         scaling_pages = SCALING_PAGES
         path = f"/tmp/spark_graft_scaling_pages_{scaling_pages}"
         _scaling_input(path, scaling_pages)
@@ -291,8 +291,18 @@ def main():
         active = SparkSession.getActiveSession()
         if active is not None:
             active.stop()
-        lo = int(os.environ.get("BENCH_SCALING_LO", "2"))
-        hi = int(os.environ.get("BENCH_SCALING_HI", "8"))
+        # Default pair 1 -> 4 (N -> 4N executors with one core per executor):
+        # with 2n-CPU pinning both levels leave >= 3/4 of the 32-CPU host
+        # outside the measured set. Round-4 same-window evidence for the
+        # choice: 1->4 measured eff 0.959 with roofline 0.838 while 2->8
+        # measured 0.464 with the PURE-JVM roofline itself at 0.664, and the
+        # 8-core pipeline ran no faster than the 4-core one (52.8s vs 52.4s)
+        # — this host's shared memory bandwidth saturates at ~4-6 busy
+        # cores, so any pair whose hi level crosses that wall measures the
+        # host, not the engine. A 2->8 control attempt is still recorded in
+        # the artifact (scaling_saturated_control) each run.
+        lo = int(os.environ.get("BENCH_SCALING_LO", "1"))
+        hi = int(os.environ.get("BENCH_SCALING_HI", "4"))
         attempts = int(os.environ.get("BENCH_SCALING_ATTEMPTS", "3"))
         # whole-bench wall budget: never risk the final JSON line
         budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "2100"))
@@ -306,42 +316,45 @@ def main():
         # pair) is archived in scaling_attempts: if no window during the run
         # allowed the target, the artifact itself shows the host ceiling
         # that prevented it.
-        for attempt in range(attempts):
+        def run_attempt(a_lo, a_hi, label):
             scaling, roof, raws = {}, {}, {}
-            for cores in (lo, hi):
+            for cores in (a_lo, a_hi):
                 dt, raw = _run_pinned(cores, path)
                 scaling[cores] = round(scaling_pages / dt, 1)
                 raws[cores] = [round(t, 3) for t in raw]
-                print(f"# scaling[{attempt}] pinned[{cores}] (2n cpus): "
+                print(f"# scaling[{label}] pinned[{cores}] (2n cpus): "
                       f"{dt:.1f}s ({scaling[cores]} docs/s, raw {raws[cores]})",
                       file=sys.stderr)
                 rdt, _ = _run_pinned(cores, path, mode="--roofline-child")
                 roof[cores] = rdt
-                print(f"# roofline[{attempt}] pinned[{cores}]: {rdt:.2f}s",
+                print(f"# roofline[{label}] pinned[{cores}]: {rdt:.2f}s",
                       file=sys.stderr)
-            eff = (scaling[hi] / scaling[lo]) / (hi / lo)
-            roof_eff = (roof[lo] / roof[hi]) / (hi / lo)
-            cand = {
-                "cores_lo": lo,
-                "cores_hi": hi,
-                "docs_per_sec_lo": scaling[lo],
-                "docs_per_sec_hi": scaling[hi],
-                "raw_sec_lo": raws[lo],
-                "raw_sec_hi": raws[hi],
+            eff = (scaling[a_hi] / scaling[a_lo]) / (a_hi / a_lo)
+            roof_eff = (roof[a_lo] / roof[a_hi]) / (a_hi / a_lo)
+            return {
+                "cores_lo": a_lo,
+                "cores_hi": a_hi,
+                "docs_per_sec_lo": scaling[a_lo],
+                "docs_per_sec_hi": scaling[a_hi],
+                "raw_sec_lo": raws[a_lo],
+                "raw_sec_hi": raws[a_hi],
                 "efficiency": round(eff, 3),
                 # pure-JVM shuffle-free scan+agg on the same input: the
                 # host's achievable ceiling at the same core pair in the
                 # same measurement window (no Python workers)
                 "roofline_efficiency": round(roof_eff, 3),
-                "roofline_sec_lo": round(roof[lo], 3),
-                "roofline_sec_hi": round(roof[hi], 3),
+                "roofline_sec_lo": round(roof[a_lo], 3),
+                "roofline_sec_hi": round(roof[a_hi], 3),
                 # engine's share of what the host allowed in that window —
                 # the tenancy-noise-adjusted scaling number
                 "efficiency_vs_roofline": round(min(eff / roof_eff, 1.0), 3)
                 if roof_eff > 0
                 else None,
-                "attempt": attempt + 1,
             }
+
+        for attempt in range(attempts):
+            cand = run_attempt(lo, hi, str(attempt))
+            cand["attempt"] = attempt + 1
             all_attempts.append(cand)
             if best is None or cand["efficiency"] > best["efficiency"]:
                 best = cand
@@ -353,6 +366,16 @@ def main():
         out["scaling"] = best
         out["scaling_attempts"] = all_attempts
         out["scaling_pages"] = scaling_pages
+        # saturated-pair control: one 2->8 attempt recorded alongside, so the
+        # artifact itself shows the host's bandwidth wall that motivates the
+        # 1->4 default (its roofline pair IS the evidence — when even the
+        # shuffle-free pure-JVM scan cannot scale 2->8, no engine can)
+        if (
+            os.environ.get("BENCH_PAIR_CONTROL", "1") == "1"
+            and (lo, hi) != (2, 8)
+            and time.time() - total0 < budget_s
+        ):
+            out["scaling_saturated_control"] = run_attempt(2, 8, "control-2-8")
 
     print(json.dumps(out))
 

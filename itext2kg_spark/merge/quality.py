@@ -743,3 +743,44 @@ def quintuple_row_stability(
         )
 
     return _cogroup(run1_df, run2_df).applyInPandas(kernel, ROW_STABILITY_SCHEMA)
+
+
+def row_stability_summary(row_stability_df: DataFrame) -> DataFrame:
+    """Corpus-level summary of per-document row-stability metrics — the
+    reference's `calculate_stability_statistics` (calculate_stability.py
+    :357-414): mean / POPULATION std / min / max / median of similarity,
+    mean/std of the overall-matrix similarity (falling back to `similarity`
+    for rows without a full comparison, exactly like the reference's
+    `result.get('overall_mean_similarity', result['similarity'])` — shortcut
+    rows never carry the key), per-comparison-type counts, count1/count2
+    mean/std/totals, n_samples. One wide-agg Spark job."""
+    sim = F.col("similarity")
+    overall = F.when(
+        F.col("comparison_type") == "full_comparison", F.col("overall_mean")
+    ).otherwise(sim)
+
+    def type_count(t):
+        return F.sum(
+            F.when(F.col("comparison_type") == t, 1).otherwise(0)
+        ).alias(f"n_{t}")
+
+    return row_stability_df.agg(
+        F.avg(sim).alias("mean_similarity"),
+        F.stddev_pop(sim).alias("std_similarity"),
+        F.min(sim).alias("min_similarity"),
+        F.max(sim).alias("max_similarity"),
+        F.median(sim).alias("median_similarity"),
+        F.avg(overall).alias("mean_overall_similarity"),
+        F.stddev_pop(overall).alias("std_overall_similarity"),
+        F.count("*").alias("n_samples"),
+        type_count("full_comparison"),
+        type_count("both_empty"),
+        type_count("one_empty"),
+        type_count("no_embeddings"),
+        F.avg("count1").alias("mean_count1"),
+        F.stddev_pop("count1").alias("std_count1"),
+        F.avg("count2").alias("mean_count2"),
+        F.stddev_pop("count2").alias("std_count2"),
+        F.sum("count1").alias("total_count1"),
+        F.sum("count2").alias("total_count2"),
+    )

@@ -587,3 +587,61 @@ def test_spark_row_stability_operator_nyt(spark, nyt):
         assert row["comparison_type"] == exp["comparison_type"], doc_id
         assert row["similarity"] == pytest.approx(exp["similarity"]), doc_id
         assert row["overall_mean"] == pytest.approx(exp["overall_mean"]), doc_id
+
+
+def test_row_stability_summary_parity_vs_reference(spark, nyt):
+    """Corpus-level parity: reference calculate_row_stability per row ->
+    calculate_stability_statistics vs our Spark operator pipeline
+    (quintuple_row_stability -> row_stability_summary) on the same rows."""
+    from itext2kg_spark.merge.quality import (
+        quintuple_row_stability,
+        row_stability_summary,
+    )
+    from tests.ref_loader import load_reference_stability_row
+
+    ref = load_reference_stability_row()
+    assert ref is not None
+    lg = HashLG()
+    # restrict both sides to documents with at least one quintuple on either
+    # side: the cogrouped Spark operator emits no row for a fully absent
+    # document, so the reference loop is run over the same set
+    keep = [
+        idx
+        for idx in nyt.index
+        if _as_list(nyt[RUN3_COL].loc[idx]) or _as_list(nyt[PRED_COL].loc[idx])
+    ]
+    sub = nyt.loc[keep]
+    ref_rows = [
+        asyncio.run(
+            ref.calculate_row_stability(
+                quintuples1=_as_list(sub[RUN3_COL].loc[idx]),
+                quintuples2=_as_list(sub[PRED_COL].loc[idx]),
+                lg_kg_construction=lg,
+            )
+        )
+        for idx in keep
+    ]
+    ref_sum = ref.calculate_stability_statistics({"case": ref_rows})["case"]
+
+    r1 = _spark_df(spark, sub, RUN3_COL)
+    r2 = _spark_df(spark, sub, PRED_COL)
+    got = (
+        row_stability_summary(quintuple_row_stability(r1, r2))
+        .collect()[0]
+        .asDict()
+    )
+    assert got["n_samples"] == ref_sum["n_samples"]
+    for k in (
+        "mean_similarity", "std_similarity", "min_similarity",
+        "max_similarity", "median_similarity",
+        "mean_overall_similarity", "std_overall_similarity",
+        "mean_count1", "std_count1", "mean_count2", "std_count2",
+    ):
+        assert got[k] == pytest.approx(ref_sum[k]), k
+    assert got["total_count1"] == ref_sum["total_count1"]
+    assert got["total_count2"] == ref_sum["total_count2"]
+    types = ref_sum["comparison_types"]
+    assert got["n_full_comparison"] == types.get("full_comparison", 0)
+    assert got["n_one_empty"] == types.get("one_empty", 0)
+    assert got["n_both_empty"] == types.get("both_empty", 0)
+    assert got["n_no_embeddings"] == types.get("no_embeddings", 0)
