@@ -187,14 +187,15 @@ def _roofline_child(cores: int, path: str) -> None:
 def _headline_roofline(spark) -> float:
     """Same-window host-ceiling probe for the HEADLINE section: a pure-JVM
     shuffle-free scan+hash+agg over the sf documents table, 6x amortized.
-    Quiet-window value on this host is ~0.15-0.35s at sf0.1; a reading far
+    Quiet-window value on this host is ~0.4-0.6s at sf0.1; a reading far
     above that band means the headline numbers were taken in a contended
     window and overstate the engine's cost (round-3 finding: dedup/text
     timings drifted +45-100% with ZERO code change)."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    df.select(F.try_sum(F.xxhash64("text"))).collect()  # warm
+    for _ in range(2):  # 2x warm: first scan pays codegen + footer reads
+        df.select(F.try_sum(F.xxhash64("text"))).collect()
     t0 = time.time()
     for _ in range(6):
         df.select(
