@@ -204,10 +204,16 @@ def _q_dedup_embedding(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
-def _q_dedup_simhash(spark, sf_dir):  # rows-only (bit-level, not SQL-portable)
+def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, oracle-checked: with bands > max_hamming the
+    banding is pigeonhole-COMPLETE, so the output is exactly the pairs
+    within Hamming 3 — and the md5 bit source makes the signature itself
+    SQL-replicable (DuckDB md5_number_upper), so the oracle recomputes
+    signatures and brute-forces the pairs."""
     from itext2kg_spark.dedup.simhash import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+    out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -825,12 +831,15 @@ def _q_ann_ivf_recall(spark, sf_dir):
 def _q_dedup_simhash_verified(spark, sf_dir):
     """SimHash candidates + exact n-gram Jaccard verification — output equals
     the exact-Jaccard pair set whenever every true pair sits within the
-    Hamming budget (measured: true pairs <= 8 bits of 64; budget 12), so the
-    dedup_ngram SQL is this operator's oracle."""
+    Hamming budget, a MEASURED property of the tested corpora (true pairs
+    reach Hamming 15 at sf0.1, hence budget 15 = the pigeonhole maximum for
+    16 bands; simhash is a Hamming-ball method, so a Jaccard-true pair
+    beyond the budget would be missed by design). The dedup_ngram SQL is
+    this operator's oracle at the gate's scales."""
     from itext2kg_spark.dedup.simhash import simhash_verified_pairs
 
     return simhash_verified_pairs(
-        _docs(spark, sf_dir), threshold=0.8, max_hamming=12, bands=16, n=3
+        _docs(spark, sf_dir), threshold=0.8, max_hamming=15, bands=16, n=3
     )
 
 
@@ -956,6 +965,40 @@ def _nn(x):
 
 def _nl(x):
     return _NL.format(x=x)
+
+
+_SIMHASH_SQL = r"""
+-- exact SQL replica of dedup/simhash.py:_simhash: md5_number_upper(tok) IS
+-- int.from_bytes(md5(tok)[:8],'little'); bit j = (h>>j)&1; signature bit =
+-- sign of tf-weighted sum; pairs = brute-force Hamming <= 3 (the Spark side
+-- is banded, but bands(4) > max_hamming(3) makes banding complete, so the
+-- outputs agree by pigeonhole, not by corpus luck)
+WITH stoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+stf AS (SELECT doc_id, tok, count(*) AS tf FROM stoks GROUP BY doc_id, tok),
+shv AS (SELECT doc_id, tf, md5_number_upper(tok) AS h FROM stf),
+sbits AS (
+  SELECT doc_id, j, sum(tf * (2 * CAST((h >> j) & 1 AS BIGINT) - 1)) AS acc
+  FROM shv CROSS JOIN (SELECT unnest(range(64)) AS j) js
+  GROUP BY doc_id, j
+),
+ssig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)
+              AS UBIGINT) AS sig
+  FROM sbits GROUP BY doc_id
+),
+ssig AS (
+  SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+  FROM documents d LEFT JOIN ssig0 s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 _ANN_TOPK_SQL = """
@@ -1170,6 +1213,7 @@ SELECT g.doc_id,
             ELSE 'full_comparison' END AS comparison_type
 FROM gc g LEFT JOIN pc p USING (doc_id) LEFT JOIN h USING (doc_id)
 """,
+        "dedup_simhash": _SIMHASH_SQL,
         "ann_lsh_recall": """
 SELECT vec_id AS query_id, TRUE AS top1_found
 FROM embeddings WHERE vec_id < 20

@@ -53,6 +53,10 @@ def jaccard_pairs(
     if max_gram_df is not None:
         df_counts = g.groupBy("gram").agg(F.count("*").alias("__df"))
         g = g.join(df_counts.where(F.col("__df") <= max_gram_df), "gram").drop("__df")
+    # the gram table feeds THREE plan branches (per-doc sizes + both sides of
+    # the self-join); without a checkpoint the split+explode+distinct (+ df
+    # cutoff) lineage re-executes per branch — measured 2.8s -> 1.9s at sf0.1
+    g = g.localCheckpoint()
     sizes = g.groupBy("id").agg(F.count("*").alias("n_grams"))
 
     a = g.select(F.col("id").alias("id_a"), "gram")

@@ -1,10 +1,18 @@
 """SimHash near-dup detection: 64-bit token-weighted signatures, band-blocked
 Hamming search.
 
-Signature = sign(sum over tokens of tf-weighted ±1 per bit of blake2b(token)).
+Signature = sign(sum over tokens of tf-weighted ±1 per bit of md5(token)).
 Near-dups = pairs with Hamming distance <= max_hamming, found by splitting the
 64 bits into `bands` exact-match blocks (pigeonhole: any pair within distance
 d < bands shares at least one block) — an equi-join, never a cross join.
+With bands > max_hamming the banding is COMPLETE: the output is exactly the
+set of pairs within the Hamming budget, independent of corpus or scale.
+
+The bit source is md5 (first 8 digest bytes little-endian, bit i = (h>>i)&1)
+specifically so the whole signature is replicable in ANSI-ish SQL — DuckDB's
+`md5_number_upper(tok)` IS this integer, making `simhash_pairs` exactly
+oracle-checkable (the driver's dedup_simhash oracle recomputes signatures and
+brute-forces Hamming pairs in SQL).
 """
 
 from __future__ import annotations
@@ -26,10 +34,13 @@ def _simhash(text: str) -> int:
     from collections import Counter
 
     for tok, cnt in Counter(toks).items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        digest = hashlib.md5(tok.encode()).digest()[:8]
+        # bitorder='little': bit i == (int.from_bytes(digest,'little') >> i) & 1
+        bits = np.unpackbits(
+            np.frombuffer(digest, dtype=np.uint8), bitorder="little"
+        )
         acc += cnt * (bits.astype(np.int64) * 2 - 1)
-    sig = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+    sig = np.packbits((acc > 0).astype(np.uint8), bitorder="little").tobytes()
     return int.from_bytes(sig, "little", signed=True)
 
 

@@ -346,7 +346,7 @@ def test_simhash_verified_equals_ngram_truth(spark, docs):
     got = {
         tuple(r)
         for r in simhash_verified_pairs(
-            docs, threshold=0.8, max_hamming=12, bands=16, n=3
+            docs, threshold=0.8, max_hamming=15, bands=16, n=3
         ).collect()
     }
     assert got == truth and len(truth) > 0
