@@ -843,6 +843,112 @@ def _q_dedup_simhash_verified(spark, sf_dir):
     )
 
 
+def _q_kg_build_graph_exact(spark, sf_dir):
+    """The FULL canonicalization pipeline (normalize -> entity/predicate
+    resolution -> remap joins -> timeparse split -> wide edge aggregation
+    with t_obs stamping), oracle-checked end-to-end: with both similarity
+    thresholds above 1.0 no cosine can merge anything, so resolution is
+    GUARANTEED to be the identity on distinct normalized entities and the
+    canonical edge set equals the exact-merge SQL by construction — this
+    pins the real code path (the same one kg_build_graph runs), not a
+    reimplementation, leaving only the similarity-merge numerics to the
+    differential harness."""
+    from dataclasses import replace
+
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.extract.embed import HashEmbedder
+    from itext2kg_spark.merge.kg import canonicalize_kg
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0, rel_threshold=2.0))
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    pipe = KGPipeline(cfg)
+    q = pipe.token_quintuples_from_pages(pages)
+    _, edges = canonicalize_kg(q, cfg, HashEmbedder())
+    return edges.select(
+        "src_name", "src_label", "pred", "dst_name", "dst_label",
+        F.size("t_obs").cast("long").alias("n_obs"),
+        F.size("t_start").cast("long").alias("n_start"),
+        F.size("t_end").cast("long").alias("n_end"),
+        F.array_join(
+            F.transform(
+                F.array_sort("t_obs"),
+                lambda x: x.cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("t_obs_list"),
+    )
+
+
+def _q_kg_build_graph_temporal(spark, sf_dir):
+    """Exact-mode canonicalization over a temporal-rich synthetic mention
+    table: shared edge keys recur across documents (multi-element t_obs
+    accumulation), t_start carries ISO dates (Catalyst fast-path branch) AND
+    'March 05, 2020'-style strings (fast-path MISS -> dateutil branch), so
+    the clean/dirty timeparse row split, the remap joins, and the
+    sorted-flatten temporal list aggregation are all pinned by the SQL
+    oracle end-to-end. Thresholds above 1.0 again guarantee identity
+    resolution (see kg_build_graph_exact)."""
+    from dataclasses import replace
+
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.extract.embed import HashEmbedder
+    from itext2kg_spark.merge.kg import canonicalize_kg
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+        ).alias("i"),
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = F.col("doc_id")
+    i = F.col("i")
+    empty = F.array().cast("array<string>")
+    iso = F.date_add(F.lit("2020-01-01").cast("date"), ((d + i) % 365).cast("int"))
+    fuzzy = F.date_add(
+        F.lit("2021-01-01").cast("date"), ((d * 2 + i) % 300).cast("int")
+    )
+    te = F.date_add(F.lit("2022-01-01").cast("date"), ((d * 3 + i) % 200).cast("int"))
+    q = base.select(
+        F.concat(F.lit("doc://"), s(d)).alias("url"),
+        (F.lit(1704067200) + (d % 365) * 86400).cast("long").alias("obs_ts"),
+        F.concat(F.lit("fact_"), s(d), F.lit("_"), s(i)).alias("fact"),
+        i.cast("long").alias("fact_idx"),
+        F.concat(F.lit("E"), s((d * 7 + i) % 97)).alias("subj_name"),
+        F.lit("Entity").alias("subj_label"),
+        F.concat(F.lit("rel"), s(i)).alias("pred"),
+        F.concat(F.lit("F"), s((d * 3 + i) % 53)).alias("obj_name"),
+        F.lit("Entity").alias("obj_label"),
+        F.when(
+            i % 2 == 0,
+            F.array(s(iso), F.date_format(fuzzy, "MMMM dd, yyyy")),
+        ).otherwise(empty).alias("t_start"),
+        F.when(i % 3 == 0, F.array(s(te))).otherwise(empty).alias("t_end"),
+    )
+    cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0, rel_threshold=2.0))
+    _, edges = canonicalize_kg(q, cfg, HashEmbedder())
+
+    def joined(col):
+        return F.array_join(
+            F.transform(
+                F.array_sort(col), lambda x: x.cast("long").cast("string")
+            ),
+            ",",
+        )
+
+    return edges.select(
+        "src_name", "src_label", "pred", "dst_name", "dst_label",
+        F.size("t_obs").cast("long").alias("n_obs"),
+        joined(F.col("t_obs")).alias("t_obs_list"),
+        joined(F.col("t_start")).alias("t_start_list"),
+        joined(F.col("t_end")).alias("t_end_list"),
+        F.size("atomic_facts").cast("long").alias("n_facts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _wrap(v) for k, v in {
         "kg_token_quintuples": _q_kg_token_quintuples,
@@ -853,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_repair": _q_kg_repair,
         "kg_distill": _q_kg_distill,
         "kg_build_graph": _q_kg_build_graph,
+        "kg_build_graph_exact": _q_kg_build_graph_exact,
+        "kg_build_graph_temporal": _q_kg_build_graph_temporal,
         "kg_grammar_pipeline": _q_kg_grammar_pipeline,
         "kg_merge_eval": _q_kg_merge_eval,
         "kg_er_metrics": _q_kg_er_metrics,
@@ -1220,6 +1328,79 @@ FROM embeddings WHERE vec_id < 20
 """,
         "ann_ivf_recall": _ANN_TOPK_SQL,
         "dedup_simhash_verified": _JACCARD_SQL,
+        "kg_build_graph_exact": f"""
+WITH {_QUINT_CTE},
+e AS (
+  SELECT {_nn('subj_name')} AS src_name, {_nl('subj_label')} AS src_label,
+         {_nl('pred')} AS pred,
+         {_nn('obj_name')} AS dst_name, {_nl('obj_label')} AS dst_label,
+         CAST(1704067200 + (doc_id % 365) * 86400 AS BIGINT) AS t
+  FROM quint
+)
+SELECT src_name, src_label, pred, dst_name, dst_label,
+       count(*) AS n_obs,
+       CAST(0 AS BIGINT) AS n_start,
+       CAST(0 AS BIGINT) AS n_end,
+       array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
+FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        "kg_build_graph_temporal": f"""
+WITH tbase AS (
+  SELECT doc_id, unnest(range((doc_id % 4) + 1)) AS i FROM documents
+),
+tq AS (
+  SELECT doc_id, i,
+         {_nn("'E' || ((doc_id * 7 + i) % 97)")} AS src_name,
+         {_nl("'Entity'")} AS src_label,
+         {_nl("'rel' || i")} AS pred,
+         {_nn("'F' || ((doc_id * 3 + i) % 53)")} AS dst_name,
+         {_nl("'Entity'")} AS dst_label,
+         CAST(1704067200 + (doc_id % 365) * 86400 AS BIGINT) AS tobs,
+         DATE '2020-01-01' + CAST((doc_id + i) % 365 AS INT) AS iso_d,
+         DATE '2021-01-01' + CAST((doc_id * 2 + i) % 300 AS INT) AS fuzzy_d,
+         DATE '2022-01-01' + CAST((doc_id * 3 + i) % 200 AS INT) AS te_d
+  FROM tbase
+),
+k AS (SELECT DISTINCT src_name, src_label, pred, dst_name, dst_label FROM tq),
+obs AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         count(*) AS n_obs,
+         array_to_string(list_sort(list(CAST(tobs AS VARCHAR))), ',') AS t_obs_list,
+         count(*) AS n_facts
+  FROM tq GROUP BY 1, 2, 3, 4, 5
+),
+-- 10-digit epochs: lexicographic VARCHAR sort == numeric sort
+tsv AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         CAST(epoch(iso_d) AS BIGINT) AS v FROM tq WHERE i % 2 = 0
+  UNION ALL
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         CAST(epoch(fuzzy_d) AS BIGINT) FROM tq WHERE i % 2 = 0
+),
+tsl AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         array_to_string(list_sort(list(CAST(v AS VARCHAR))), ',') AS t_start_list
+  FROM tsv GROUP BY 1, 2, 3, 4, 5
+),
+tev AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         CAST(epoch(te_d) AS BIGINT) AS v FROM tq WHERE i % 3 = 0
+),
+tel AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         array_to_string(list_sort(list(CAST(v AS VARCHAR))), ',') AS t_end_list
+  FROM tev GROUP BY 1, 2, 3, 4, 5
+)
+SELECT k.src_name, k.src_label, k.pred, k.dst_name, k.dst_label,
+       o.n_obs, o.t_obs_list,
+       COALESCE(ts.t_start_list, '') AS t_start_list,
+       COALESCE(te.t_end_list, '') AS t_end_list,
+       o.n_facts
+FROM k
+JOIN obs o USING (src_name, src_label, pred, dst_name, dst_label)
+LEFT JOIN tsl ts USING (src_name, src_label, pred, dst_name, dst_label)
+LEFT JOIN tel te USING (src_name, src_label, pred, dst_name, dst_label)
+""",
         "kg_cost": f"""
 WITH {_EVAL_CTE},
 tok AS (SELECT '[A-Za-z0-9]+|[^\\x00-\\x20A-Za-z0-9]' AS pat),
