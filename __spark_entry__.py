@@ -226,12 +226,19 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
-def _q_ann_lsh(spark, sf_dir):  # rows-only (approximate by construction)
+def _q_ann_lsh(spark, sf_dir):
+    """LSH top-k, oracle-checked end-to-end: md5-derived Rademacher planes
+    (an Achlioptas-style sign-LSH family) make the signatures SQL-replicable,
+    so the DuckDB oracle recomputes plane signs, band buckets, candidate
+    pairs and the cosine re-rank exactly — banding, bucket join, dedup and
+    window rank are all pinned, approximation and all."""
     from itext2kg_spark.similarity.ann import ann_topk_lsh
 
     vecs = _vecs(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") < 20)
-    return ann_topk_lsh(queries, vecs, k=5)
+    return ann_topk_lsh(queries, vecs, k=5, plane_source="md5").select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def _q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
@@ -949,6 +956,20 @@ def _q_kg_build_graph_temporal(spark, sf_dir):
     )
 
 
+def _q_kg_distill_text(spark, sf_dir):
+    """S1 byte-identity invariant, oracle-checked directly: wrap every
+    document in the html envelope (pages_from_documents), run the REAL
+    distill stage (Arrow-batched html -> main-text extraction), and return
+    (url, text) — the oracle is simply the documents table, so the check IS
+    the north-rule per-row invariant 'byte-identical extracted text per
+    url'."""
+    from itext2kg_spark.extract.distill import distill_pages
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return distill_pages(pages).select("url", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _wrap(v) for k, v in {
         "kg_token_quintuples": _q_kg_token_quintuples,
@@ -968,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stability": _q_kg_stability,
         "kg_exhaustivity": _q_kg_exhaustivity,
         "kg_distill_pipeline": _q_kg_distill_pipeline,
+        "kg_distill_text": _q_kg_distill_text,
         "kg_cost": _q_kg_cost,
         "kg_exhaustivity_factoids": _q_kg_exhaustivity_factoids,
         "kg_stability_row": _q_kg_stability_row,
@@ -1106,6 +1128,56 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
 FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+_ANN_LSH_SQL = """
+-- exact SQL replica of ann_topk_lsh(plane_source='md5', rows=4, bands=16,
+-- seed=1729, k=5): plane (p,d) weight = 2*(md5_number_upper('1729:p:d')&1)-1
+-- over unit vectors; band signature packs 4 sign bits + band<<4; candidates
+-- from band-bucket equality; exact cosine re-rank, rank <= 5
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+planes AS (
+  SELECT p.p, d.d,
+         CAST(2 * CAST(md5_number_upper('1729:' || p.p || ':' || d.d) & 1 AS BIGINT) - 1
+              AS DOUBLE) AS w
+  FROM (SELECT unnest(range(64)) AS p) p
+  CROSS JOIN (SELECT unnest(range(64)) AS d) d
+),
+dots AS (
+  SELECT e.vec_id, pl.p, sum(e.u[pl.d + 1] * pl.w) AS dot
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.p
+),
+sigs AS (
+  SELECT vec_id, (p // 4) AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN (1 << (p % 4)) ELSE 0 END)
+              + ((p // 4) << 4) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id, (p // 4)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.band = c.band AND q.sig = c.sig
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(eq.u, ec.u) AS sim
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e ec ON ec.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 """
 
 
@@ -1322,6 +1394,7 @@ SELECT g.doc_id,
 FROM gc g LEFT JOIN pc p USING (doc_id) LEFT JOIN h USING (doc_id)
 """,
         "dedup_simhash": _SIMHASH_SQL,
+        "ann_lsh": _ANN_LSH_SQL,
         "ann_lsh_recall": """
 SELECT vec_id AS query_id, TRUE AS top1_found
 FROM embeddings WHERE vec_id < 20
@@ -1400,6 +1473,9 @@ FROM k
 JOIN obs o USING (src_name, src_label, pred, dst_name, dst_label)
 LEFT JOIN tsl ts USING (src_name, src_label, pred, dst_name, dst_label)
 LEFT JOIN tel te USING (src_name, src_label, pred, dst_name, dst_label)
+""",
+        "kg_distill_text": """
+SELECT 'doc://' || doc_id AS url, text FROM documents
 """,
         "kg_cost": f"""
 WITH {_EVAL_CTE},

@@ -38,19 +38,47 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 from itext2kg_spark.config import MatchConfig
 
 
-def lsh_signatures_udf(dim: int, rows: int, bands: int, seed: int):
+def lsh_signatures_udf(dim: int, rows: int, bands: int, seed: int,
+                       plane_source: str = "gauss"):
     """pandas UDF: unit embedding -> array<long> of `bands` band signatures.
 
     Each signature packs `rows` hyperplane sign bits plus the band index so a
     single explode+equi-join covers all bands.
-    """
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((bands * rows, dim)).astype(np.float32)
+
+    plane_source="gauss" (default) draws Gaussian hyperplanes from a seeded
+    PCG64 — the standard random-hyperplane construction, used by entity
+    resolution. plane_source="md5" uses Rademacher (+-1) hyperplanes whose
+    entries come from md5("{seed}:{plane}:{dim}") bit 0 — an equally valid
+    sign-LSH family (Achlioptas-style +-1 projections) whose signatures a
+    SQL engine can recompute EXACTLY (DuckDB md5_number_upper), making the
+    whole LSH path oracle-checkable; this mode computes dots in float64 so
+    the sign decisions match a SQL engine's double arithmetic."""
+    if plane_source == "md5":
+        import hashlib
+
+        bits01 = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "little"
+                )
+                & 1
+                for p in range(bands * rows)
+                for d in range(dim)
+            ),
+            dtype=np.int64,
+            count=bands * rows * dim,
+        )
+        planes = (2 * bits01 - 1).reshape(bands * rows, dim).astype(np.float64)
+        dtype = np.float64
+    else:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        planes = rng.standard_normal((bands * rows, dim)).astype(np.float32)
+        dtype = np.float32
     weights = (2 ** np.arange(rows, dtype=np.int64))[None, :]
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sigs(emb: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(e, dtype=np.float32) for e in emb])
+        mat = np.asarray([np.asarray(e, dtype=dtype) for e in emb])
         if mat.ndim != 2:  # empty batch
             return pd.Series([[] for _ in range(len(emb))])
         bits = (mat @ planes.T) > 0  # (n, bands*rows)

@@ -227,13 +227,16 @@ def ann_topk_lsh(
     rows: int = 4,
     bands: int = 16,
     seed: int = 1729,
+    plane_source: str = "gauss",
 ) -> DataFrame:
-    """Approximate top-k: LSH-bucketed candidates, exact re-rank."""
+    """Approximate top-k: LSH-bucketed candidates, exact re-rank.
+    plane_source="md5" uses SQL-replicable Rademacher planes (see
+    lsh_signatures_udf) so the whole query is oracle-checkable."""
     q = _prep(queries, id_col, emb_col, "query")
     c = _prep(corpus, id_col, emb_col, "neighbor")
     dim_row = c.select(F.size("neighbor_emb").alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 2
-    sig = lsh_signatures_udf(dim, rows, bands, seed)
+    sig = lsh_signatures_udf(dim, rows, bands, seed, plane_source)
 
     qs = q.select("query_id", "query_emb", F.explode(sig("query_emb")).alias("sig"))
     cs = c.select(
