@@ -76,6 +76,11 @@ def simhash_pairs(
     ).select("id", "sig", "b.band", "b.block")
 
     x, y = blocks.alias("x"), blocks.alias("y")
+    # hamming filter BEFORE the pair dedup: the band join emits one row per
+    # shared block (O(collisions) rows — millions at small block widths) and
+    # bit_count is whole-stage-codegen'd per row, so filtering first shrinks
+    # the dropDuplicates shuffle to just the near pairs (sf0.1, 16 bands:
+    # 7.4M candidate rows -> hundreds)
     cand = (
         x.join(y, ["band", "block"])
         .where(F.col("x.id") < F.col("y.id"))
@@ -84,9 +89,10 @@ def simhash_pairs(
             F.col("y.id").alias("id_b"),
             F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.where(F.col("hamming") <= max_hamming)
+    return cand
 
 
 def simhash_verified_pairs(
@@ -101,16 +107,19 @@ def simhash_verified_pairs(
     """SimHash candidates verified by exact n-gram Jaccard — (id_a, id_b,
     jaccard_10k), identical to `ngram.jaccard_pairs` whenever every true
     near-dup pair lands within `max_hamming` signature bits (measured on the
-    synthetic corpus: true 0.8-Jaccard pairs sit at Hamming <= 8 of 64, so
-    12 leaves a 4-bit margin), which makes the exact-Jaccard SQL this
-    operator's DuckDB oracle. Same shape as minhash_lsh_pairs' verify step:
+    synthetic corpora: true 0.8-Jaccard pairs sit at Hamming <= 12 of 64 up
+    to sf0.1, so the pigeonhole-maximum budget of 15 holds with margin),
+    which makes the exact-Jaccard SQL this operator's DuckDB oracle. Same shape as minhash_lsh_pairs' verify step:
     the gram equi-join is restricted to candidate ids (left_semi), so exact
     verification cost tracks candidate volume, not corpus size."""
     from itext2kg_spark.dedup.ngram import jaccard_pairs, word_ngrams
 
+    # checkpoint the (small) candidate pair set: it feeds three consumers
+    # (two id projections + the final semi-join) and its lineage contains the
+    # multi-million-row band join
     cand = simhash_pairs(docs, max_hamming, bands, text_col, id_col).select(
         "id_a", "id_b"
-    )
+    ).localCheckpoint()
     grams = word_ngrams(docs, n, text_col, id_col)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
