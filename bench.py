@@ -187,10 +187,12 @@ def _roofline_child(cores: int, path: str) -> None:
 def _headline_roofline(spark) -> float:
     """Same-window host-ceiling probe for the HEADLINE section: a pure-JVM
     shuffle-free scan+hash+agg over the sf documents table, 6x amortized.
-    Quiet-window value on this host is ~0.4-0.6s at sf0.1; a reading far
-    above that band means the headline numbers were taken in a contended
-    window and overstate the engine's cost (round-3 finding: dedup/text
-    timings drifted +45-100% with ZERO code change)."""
+    Quiet-window POST value on this host is ~0.4-0.6s at sf0.1 (the PRE
+    probe runs right after session start and carries ~0.5s of one-time JVM
+    ramp on top — compare pre across runs, not against the band); a POST
+    reading far above the band means the headline numbers were taken in a
+    contended window and overstate the engine's cost (round-3 finding:
+    dedup/text timings drifted +45-100% with ZERO code change)."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
