@@ -645,3 +645,84 @@ def test_row_stability_summary_parity_vs_reference(spark, nyt):
     assert got["n_one_empty"] == types.get("one_empty", 0)
     assert got["n_both_empty"] == types.get("both_empty", 0)
     assert got["n_no_embeddings"] == types.get("no_embeddings", 0)
+
+
+# ---------------------------------------------------------------------------
+# randomized live-reference fuzz parity (edge cases the NYT corpus lacks:
+# duplicate texts / cosine ties, None and list temporals, short tuples)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORD = st.sampled_from(
+    ["virus", "asia", "outbreak", "fear", "china", "on", "by", "x"]
+)
+_TEMPORAL = st.sampled_from(
+    [None, "", [], "none", "2020-01-09", ["2020-01-09"], "mid-2020", "March 05, 2020"]
+)
+_QUINT = st.tuples(_WORD, _WORD, _WORD, _TEMPORAL, _TEMPORAL)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_QUINT, min_size=0, max_size=6),
+    st.lists(_QUINT, min_size=0, max_size=6),
+)
+def test_row_stability_fuzz_parity(q1, q2):
+    from itext2kg_spark.merge.quality import score_row_stability
+    from tests.ref_loader import load_reference_stability_row
+
+    ref = load_reference_stability_row()
+    assert ref is not None
+    lg = HashLG()
+    ref_m = asyncio.run(
+        ref.calculate_row_stability(list(q1), list(q2), lg_kg_construction=lg)
+    )
+    ours = score_row_stability(list(q1), list(q2))
+    assert ours["count1"] == ref_m["count1"]
+    assert ours["count2"] == ref_m["count2"]
+    assert ours["comparison_type"] == ref_m["comparison_type"]
+    assert ours["similarity"] == pytest.approx(ref_m["similarity"])
+
+
+_FACTOID = st.sampled_from(
+    [
+        "the virus spread on January 9, 2020 across asia",
+        "the virus spread across asia",
+        "a deadly epidemic struck in 2003",
+        "a deadly epidemic struck",
+        "fear rose on 2020-03-05",
+        "fear rose on 2021-07-07",
+        "",
+    ]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_FACTOID, min_size=0, max_size=5),
+    st.lists(_FACTOID, min_size=0, max_size=5),
+)
+def test_factoid_exhaustivity_fuzz_parity(pred, gold):
+    from itext2kg_spark.merge.quality import score_factoid_exhaustivity
+    from tests.ref_loader import load_reference_exhaustivity_factoids
+
+    ref = load_reference_exhaustivity_factoids()
+    assert ref is not None
+    lg = HashLG()
+    ref_m = asyncio.run(
+        ref.find_matches_factoids_optimized(
+            list(pred), list(gold), lg, threshold=0.7
+        )
+    )
+    ours = score_factoid_exhaustivity(list(pred), list(gold), threshold=0.7)
+    if not pred or not gold:
+        assert ref_m == {"recall": 0.0, "recall_t": 0.0}
+        assert ours["matched_gold"] == 0 and ours["matched_gold_t"] == 0
+    else:
+        assert ours["matched_gold"] / ours["total_gold"] == pytest.approx(
+            ref_m["recall"]
+        )
+        assert ours["matched_gold_t"] / ours["total_gold"] == pytest.approx(
+            ref_m["recall_t"]
+        )
