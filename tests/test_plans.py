@@ -111,3 +111,23 @@ def test_salted_repartition_spreads_hot_key(spark):
         .collect()
     )
     assert a == b
+
+
+def test_grouped_eval_plan_shape(spark):
+    """The evaluation operators' execution shape (merge/quality.py
+    _grouped_eval): partial-agg collect_list on BOTH sides (map-side
+    combine before the doc_id exchange), an equi-join (never cartesian),
+    and ONE batched MapInPandas — not a per-group FlatMapCoGroupsInPandas."""
+    from itext2kg_spark.merge.quality import quintuple_quality
+
+    rows = [(0, 0, "a", "r", "b", None, None), (1, 0, "c", "r", "d", None, None)]
+    schema = ("doc_id long, idx long, head string, rel string, tail string, "
+              "t_start string, t_end string")
+    df = spark.createDataFrame(rows, schema)
+    plan = _plan(quintuple_quality(df, df))
+    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # collect_list partial aggregation: ObjectHashAggregate appears in
+    # partial + final pairs per side
+    assert plan.count("ObjectHashAggregate") >= 4
