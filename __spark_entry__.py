@@ -970,6 +970,51 @@ def _q_kg_distill_text(spark, sf_dir):
     return distill_pages(pages).select("url", "text")
 
 
+def _q_kg_incremental_exact(spark, sf_dir):
+    """Incremental-merge resumability, oracle-checked: the documents table
+    is split by doc_id parity into two batches that flow through the REAL
+    store path (run_batch -> snapshot commit -> load -> merge next batch:
+    the Iceberg MERGE INTO + snapshot contract), in exact mode (thresholds
+    > 1). The loaded final edge table must equal the ONE-SHOT exact build
+    over all documents — the same SQL oracle as kg_build_graph_exact — so
+    batch splitting, store round-tripping, existing-edge union and list
+    re-aggregation are all pinned; a lost/duplicated mention or a broken
+    snapshot load would hash-mismatch."""
+    import shutil
+    import tempfile
+    from dataclasses import replace
+
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import pages_from_documents
+    from itext2kg_spark.sources.store import KGStore
+
+    cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0, rel_threshold=2.0))
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_incremental_exact_")
+    try:
+        store = KGStore(root)
+        pipe = KGPipeline(cfg, extraction="token")
+        pipe.run_batch(pages_from_documents(docs.where(F.col("doc_id") % 2 == 0)), store)
+        pipe.run_batch(pages_from_documents(docs.where(F.col("doc_id") % 2 == 1)), store)
+        _, edges = store.load(spark)
+        out = edges.select(
+            "src_name", "src_label", "pred", "dst_name", "dst_label",
+            F.size("t_obs").cast("long").alias("n_obs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort("t_obs"),
+                    lambda x: x.cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("t_obs_list"),
+        )
+        out = out.localCheckpoint()  # detach from the tmp store before cleanup
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _wrap(v) for k, v in {
         "kg_token_quintuples": _q_kg_token_quintuples,
@@ -982,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_build_graph": _q_kg_build_graph,
         "kg_build_graph_exact": _q_kg_build_graph_exact,
         "kg_build_graph_temporal": _q_kg_build_graph_temporal,
+        "kg_incremental_exact": _q_kg_incremental_exact,
         "kg_grammar_pipeline": _q_kg_grammar_pipeline,
         "kg_merge_eval": _q_kg_merge_eval,
         "kg_er_metrics": _q_kg_er_metrics,
@@ -1476,6 +1522,20 @@ LEFT JOIN tel te USING (src_name, src_label, pred, dst_name, dst_label)
 """,
         "kg_distill_text": """
 SELECT 'doc://' || doc_id AS url, text FROM documents
+""",
+        "kg_incremental_exact": f"""
+WITH {_QUINT_CTE},
+e AS (
+  SELECT {_nn('subj_name')} AS src_name, {_nl('subj_label')} AS src_label,
+         {_nl('pred')} AS pred,
+         {_nn('obj_name')} AS dst_name, {_nl('obj_label')} AS dst_label,
+         CAST(1704067200 + (doc_id % 365) * 86400 AS BIGINT) AS t
+  FROM quint
+)
+SELECT src_name, src_label, pred, dst_name, dst_label,
+       count(*) AS n_obs,
+       array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
+FROM e GROUP BY 1, 2, 3, 4, 5
 """,
         "kg_cost": f"""
 WITH {_EVAL_CTE},

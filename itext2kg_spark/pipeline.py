@@ -118,10 +118,17 @@ class KGPipeline:
         cfg: PipelineConfig = ATOM,
         embedder=None,
         extractor=None,
+        extraction: str = "grammar",
     ):
+        """extraction="grammar" (default) uses the sentence-grammar
+        extractor (or a custom `extractor`); extraction="token" routes every
+        stage — including run_batch's incremental store path — through the
+        pure-Catalyst token-triple extractor, the right mode for corpora
+        with no grammar structure (arbitrary web text)."""
         self.cfg = cfg
         self.embedder = embedder or HashEmbedder(cfg.embed.dim, cfg.embed.seed)
         self.extractor = extractor or GrammarExtractor()
+        self.extraction = extraction
 
     # -- stage views ----------------------------------------------------------
     def quintuples_from_pages(self, pages: DataFrame, fused: bool = False) -> DataFrame:
@@ -132,6 +139,8 @@ class KGPipeline:
         schema; the staged path remains for mixing extractors or inspecting
         intermediate tables.
         """
+        if self.extraction == "token":
+            return self.token_quintuples_from_pages(pages)
         if fused:
             if type(self.extractor) is GrammarExtractor:
                 return fused_quintuples_vectorized(pages)
