@@ -1015,6 +1015,32 @@ def _q_kg_incremental_exact(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_kg_stability_row_summary(spark, sf_dir):
+    """Corpus-level row-stability statistics (calculate_stability_statistics,
+    calculate_stability.py:357-414) over the synthetic per-doc rows — one
+    wide agg incl. the reference's overall-mean fallback rule for shortcut
+    rows; float stats are emitted as floor(x*10000) like the other eval
+    oracles."""
+    from itext2kg_spark.merge.quality import (
+        quintuple_row_stability,
+        row_stability_summary,
+    )
+
+    gold, pred = _synth_eval_quintuples(spark, sf_dir)
+    out = row_stability_summary(
+        quintuple_row_stability(pred, gold, embed_fn=_key_onehot_embed)
+    )
+    f = lambda c: F.floor(F.col(c) * 10000).cast("long").alias(c + "_10k")  # noqa: E731
+    return out.select(
+        f("mean_similarity"), f("std_similarity"),
+        f("min_similarity"), f("max_similarity"), f("median_similarity"),
+        f("mean_overall_similarity"), f("std_overall_similarity"),
+        "n_samples", "n_full_comparison", "n_one_empty",
+        f("mean_count1"), f("mean_count2"),
+        "total_count1", "total_count2",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _wrap(v) for k, v in {
         "kg_token_quintuples": _q_kg_token_quintuples,
@@ -1039,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cost": _q_kg_cost,
         "kg_exhaustivity_factoids": _q_kg_exhaustivity_factoids,
         "kg_stability_row": _q_kg_stability_row,
+        "kg_stability_row_summary": _q_kg_stability_row_summary,
         "text_entities": _q_text_entities,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
@@ -1536,6 +1563,39 @@ SELECT src_name, src_label, pred, dst_name, dst_label,
        count(*) AS n_obs,
        array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
 FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        "kg_stability_row_summary": f"""
+WITH {_EVAL_CTE},
+h AS (SELECT doc_id, count(*) AS matched FROM pred WHERE i % 5 <> 1 GROUP BY doc_id),
+rows_ AS (
+  SELECT g.doc_id,
+         COALESCE(p.n_pred, 0) AS count1,
+         g.n_gold AS count2,
+         CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0.0
+              ELSE CAST(COALESCE(h.matched, 0) AS DOUBLE) / p.n_pred END AS sim,
+         CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0.0
+              ELSE CAST(COALESCE(h.matched, 0) AS DOUBLE)
+                   / (p.n_pred * g.n_gold) END AS overall,
+         COALESCE(p.n_pred, 0) = 0 AS one_empty
+  FROM gc g LEFT JOIN pc p USING (doc_id) LEFT JOIN h USING (doc_id)
+)
+SELECT CAST(floor(avg(sim) * 10000) AS BIGINT) AS mean_similarity_10k,
+       CAST(floor(stddev_pop(sim) * 10000) AS BIGINT) AS std_similarity_10k,
+       CAST(floor(min(sim) * 10000) AS BIGINT) AS min_similarity_10k,
+       CAST(floor(max(sim) * 10000) AS BIGINT) AS max_similarity_10k,
+       CAST(floor(median(sim) * 10000) AS BIGINT) AS median_similarity_10k,
+       -- shortcut rows fall back to `sim` (the reference's .get default);
+       -- one_empty rows have sim = 0.0 so the fallback equals `overall` here
+       CAST(floor(avg(overall) * 10000) AS BIGINT) AS mean_overall_similarity_10k,
+       CAST(floor(stddev_pop(overall) * 10000) AS BIGINT) AS std_overall_similarity_10k,
+       count(*) AS n_samples,
+       CAST(sum(CASE WHEN NOT one_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_full_comparison,
+       CAST(sum(CASE WHEN one_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_one_empty,
+       CAST(floor(avg(CAST(count1 AS DOUBLE)) * 10000) AS BIGINT) AS mean_count1_10k,
+       CAST(floor(avg(CAST(count2 AS DOUBLE)) * 10000) AS BIGINT) AS mean_count2_10k,
+       CAST(sum(count1) AS BIGINT) AS total_count1,
+       CAST(sum(count2) AS BIGINT) AS total_count2
+FROM rows_
 """,
         "kg_cost": f"""
 WITH {_EVAL_CTE},
