@@ -103,3 +103,49 @@ def test_partition_lineage_metrics(spark):
     m = partition_lineage(pages).collect()
     assert sum(r["rows"] for r in m) == 32
     assert len(m) == 4
+
+
+def test_run_batch_token_mode_incremental_equals_oneshot(spark, tmp_path):
+    """KGPipeline(extraction='token') routes run_batch through the Catalyst
+    token extractor; two incremental batches through the REAL store path
+    must reproduce the one-shot build exactly in exact-match mode (the
+    kg_incremental_exact driver oracle, as a standalone test)."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import pages_from_documents
+    from itext2kg_spark.sources.store import KGStore
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7} r{i % 3} o{i % 5} s{i % 4} r{i % 2} o{i}", "en")
+         for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0,
+                                      rel_threshold=2.0))
+    pipe = KGPipeline(cfg, extraction="token")
+
+    store = KGStore(str(tmp_path / "store"))
+    pipe.run_batch(pages_from_documents(docs.where(F.col("doc_id") % 2 == 0)), store)
+    pipe.run_batch(pages_from_documents(docs.where(F.col("doc_id") % 2 == 1)), store)
+    _, edges_inc = store.load(spark)
+
+    _, edges_one = pipe.build_graph(pages_from_documents(docs))
+
+    def canon(edges):
+        return {
+            tuple(r)
+            for r in edges.select(
+                "src_name", "src_label", "pred", "dst_name", "dst_label",
+                F.array_join(
+                    F.transform(F.array_sort("t_obs"),
+                                lambda x: x.cast("long").cast("string")), ","
+                ).alias("t_obs_list"),
+            ).collect()
+        }
+
+    assert canon(edges_inc) == canon(edges_one)
+    assert len(canon(edges_inc)) > 0
