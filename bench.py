@@ -83,33 +83,11 @@ def _scaling_input(path: str, n_pages: int) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
-def _scaling_run(spark, path: str) -> int:
-    """The measured job: read pages -> distill -> extract -> merge -> count.
-
-    materialize_quintuples=False: the deterministic extractor is cheap to
-    recompute, so the checkpoint barrier is traded for parallel recompute —
-    at LLM-extractor cost profiles the default (True) is correct instead.
-    """
-    from dataclasses import replace
-
-    from itext2kg_spark.config import ATOM
-    from itext2kg_spark.pipeline import KGPipeline
-
-    cfg = replace(ATOM, materialize_quintuples=False)
-    pipe = KGPipeline(cfg)
-    pages = spark.read.parquet(path)
-    _, edges = pipe.build_graph(pages)
-    return edges.count()
-
-
 def _scaling_child(cores: int, path: str) -> None:
     """Child entry: run the measured job once (after a small warmup) under an
     externally-pinned CPU set; print one machine-readable line (best-of-2
     plus the RAW per-run times, so the recorded artifact shows how noisy the
     measurement window was)."""
-    from dataclasses import replace
-
-    from itext2kg_spark.config import ATOM
     from itext2kg_spark.pipeline import KGPipeline
 
     s = _fresh_spark(cores)
