@@ -1041,6 +1041,54 @@ def _q_kg_stability_row_summary(spark, sf_dir):
     )
 
 
+def _synth_media_from_docs(spark, sf_dir):
+    """Deterministic media table derived from documents: content = the
+    document's UTF-8 bytes as an opaque binary payload, kind split
+    image/video by doc_id, typed meta with a doc_id-derived duration."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .otherwise(F.lit("image")).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(48).cast("int").alias("height"),
+            ((F.col("doc_id") % 90) * 700).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _q_mm_features(spark, sf_dir):
+    """Multimodal feature-extraction plumbing, oracle-checked on its
+    SQL-replicable outputs: the REAL Arrow-batched binary-column operator
+    (extract_media_features) computes byte length and sha256 per payload —
+    DuckDB recomputes both from the same bytes (the deterministic fake
+    feature vector is hash-noise by design and is exercised by unit tests
+    instead)."""
+    from itext2kg_spark.extract.multimodal import extract_media_features
+
+    media = _synth_media_from_docs(spark, sf_dir)
+    return extract_media_features(media, fake=True).select(
+        "url", "kind", "n_bytes", "sha"
+    )
+
+
+def _q_mm_frames(spark, sf_dir):
+    """Video frame-sampling plumbing, oracle-checked: the REAL row-expansion
+    operator (sample_frames) emits one row per sampled offset, every 1000ms
+    over meta.duration_ms capped at 16 — the oracle reproduces the
+    cap/offset arithmetic per video (binary fake frames excluded; their
+    shape is unit-tested)."""
+    from itext2kg_spark.extract.multimodal import sample_frames
+
+    media = _synth_media_from_docs(spark, sf_dir)
+    return sample_frames(media, every_ms=1000, max_frames=16, fake=True).select(
+        "url", "frame_idx", "t_ms"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _wrap(v) for k, v in {
         "kg_token_quintuples": _q_kg_token_quintuples,
@@ -1078,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "dedup_simhash_verified": _q_dedup_simhash_verified,
+        "mm_features": _q_mm_features,
+        "mm_frames": _q_mm_frames,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -1596,6 +1646,23 @@ SELECT CAST(floor(avg(sim) * 10000) AS BIGINT) AS mean_similarity_10k,
        CAST(sum(count1) AS BIGINT) AS total_count1,
        CAST(sum(count2) AS BIGINT) AS total_count2
 FROM rows_
+""",
+        "mm_features": """
+SELECT 'media://' || doc_id AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+""",
+        "mm_frames": """
+SELECT 'media://' || doc_id AS url,
+       CAST(k AS INT) AS frame_idx,
+       CAST(k * 1000 AS INT) AS t_ms
+FROM (
+  SELECT doc_id, (doc_id % 90) * 700 AS dur,
+         unnest(range(least(16, ((doc_id % 90) * 700) // 1000 + 1))) AS k
+  FROM documents WHERE doc_id % 3 = 0
+)
 """,
         "kg_cost": f"""
 WITH {_EVAL_CTE},
