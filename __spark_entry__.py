@@ -5,9 +5,16 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions; SQL-expressible operators carry
-a DuckDB oracle, similarity/LSH/CC operators are rows-only and covered by the
-pytest differential harness instead.
+§2 plus the training-data-pipeline additions (41 queries, 37 with DuckDB
+oracles). Oracle techniques: unique-text synthetic corpora that make
+embedding matching equal an equi-join; keyed one-hot embedders that make
+argmax/avg-max cosine exactly SQL-replicable; exact-mode pipeline runs
+(thresholds > 1 guarantee identity resolution, so the REAL code path must
+equal the exact-merge SQL); md5-derived SimHash bits and LSH hyperplanes
+(DuckDB recomputes signatures bit-exactly). The 4 rows-only queries
+(ann_ivf, kg_build_graph, kg_grammar_pipeline, kg_merge_eval) are the
+genuinely non-SQL numerics — each has a green oracle companion and is
+covered by the pytest differential harness.
 """
 
 from __future__ import annotations
