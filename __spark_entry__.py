@@ -57,6 +57,12 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
 def _wrap(fn):
     def inner(spark, sf_dir):
         _ensure_workers_can_import(spark)
+        # the engine's documented session contract (session.py,
+        # functions/timeparse.py): epochs are UTC. The driver's session may
+        # carry a host timezone; date->epoch conversions (and their DuckDB
+        # oracles, which are timezone-free) require UTC at EXECUTION time,
+        # so pin it on whatever session runs the queries.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
 
     return inner
