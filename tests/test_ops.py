@@ -350,3 +350,58 @@ def test_simhash_verified_equals_ngram_truth(spark, docs):
         ).collect()
     }
     assert got == truth and len(truth) > 0
+
+
+def test_simhash_signature_sql_parity():
+    """The md5 bit-source contract behind the dedup_simhash oracle:
+    DuckDB's md5_number_upper(tok) IS int.from_bytes(md5(tok)[:8],'little'),
+    and the full signature arithmetic (tf-weighted sign sums, LSB-first bit
+    packing) reproduces _simhash bit-exactly in SQL — incl. repeated tokens,
+    unicode, and the empty-text zero signature."""
+    import duckdb
+
+    from itext2kg_spark.dedup.simhash import _simhash
+
+    texts = [
+        "the quick brown fox the quick",
+        "completely different content here",
+        "x",
+        "",
+        "   ",
+        "café naïve résumé café",
+        "a b c d e f g h i j k l m n o p",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    rows = dict(
+        con.sql(
+            r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM docs WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+hv AS (SELECT doc_id, tf, md5_number_upper(tok) AS h FROM tf),
+bits AS (
+  SELECT doc_id, j, sum(tf * (2 * CAST((h >> j) & 1 AS BIGINT) - 1)) AS acc
+  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS j) js
+  GROUP BY doc_id, j
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)
+              AS UBIGINT) AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+FROM docs d LEFT JOIN sig0 s USING (doc_id)
+"""
+        ).fetchall()
+    )
+    for i, t in enumerate(texts):
+        assert _simhash(t) & ((1 << 64) - 1) == int(rows[i]), repr(t)
