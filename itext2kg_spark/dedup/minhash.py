@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from itext2kg_spark.dedup.ngram import jaccard_pairs, word_ngrams
+from itext2kg_spark.dedup.ngram import jaccard_pairs, restricted_filtered_grams
 
 _MERSENNE = (1 << 61) - 1
 
@@ -72,6 +72,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_df: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard_10k): LSH candidates verified by exact Jaccard.
 
@@ -83,7 +84,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures_udf(k, n, seed)
     with_sig = docs.select(
         F.col(id_col).alias("id"), F.col(text_col), sig(F.col(text_col)).alias("sig")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: plan builders stay side-effect-free
 
     # band signature = hash of the band's slice + band index
     banded = with_sig.select(
@@ -104,13 +105,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification via the gram equi-join restricted to candidates
-    grams = word_ngrams(docs, n, text_col, id_col)
+    # exact verification via the gram equi-join restricted to candidates;
+    # the df cutoff counts over the FULL corpus (round-4 advice) with the
+    # restriction applied first so join cost stays candidate-proportional
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    grams_c = grams.join(cand_ids, "id", "left_semi")
+    grams_c = restricted_filtered_grams(
+        docs, cand_ids, n, text_col, id_col, max_gram_df
+    )
     exact = jaccard_pairs(
-        docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col, grams=grams_c
+        docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
+        grams=grams_c, max_gram_df=None,
     )
     return exact.join(cand, ["id_a", "id_b"], "left_semi")

@@ -13,6 +13,115 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# "auto" materialization guard for the gram table: the table is LARGER than
+# the corpus (one row per distinct n-gram occurrence post-cutoff), so
+# localCheckpoint — executor-local, non-fault-tolerant storage — is only safe
+# while it is small. Above this Catalyst-estimated size the table goes to
+# fault-tolerant DISK_ONLY persist instead (lineage retained: a lost executor
+# recomputes its partitions rather than failing the query).
+GRAM_LOCAL_CKPT_MAX_BYTES = 8 << 30
+
+
+def _materialize(
+    g: DataFrame, strategy: str, size_src: DataFrame | None = None
+) -> DataFrame:
+    """Gram-table materialization: the table feeds THREE plan branches
+    (per-doc sizes + both sides of the self-join), so without materialization
+    the split+explode+distinct (+ df cutoff) lineage re-executes per branch —
+    measured 2.8s -> 1.9s at sf0.1. All modes are LAZY (nothing runs until
+    the caller's first action — plan builders must stay side-effect-free);
+    "auto" picks localCheckpoint under GRAM_LOCAL_CKPT_MAX_BYTES (estimated)
+    and fault-tolerant persist(DISK_ONLY) above, "local"/"persist" force a
+    mode, "none" disables (pure lazy plan, e.g. single-branch callers)."""
+    if strategy == "none":
+        return g
+    if strategy == "auto":
+        strategy = _auto_strategy(size_src if size_src is not None else g)
+    if strategy == "local":
+        return g.localCheckpoint(eager=False)
+    if strategy == "persist":
+        return g.persist(StorageLevel.DISK_ONLY)
+    raise ValueError(f"unknown gram materialization strategy: {strategy!r}")
+
+
+_STATS_UNKNOWN = (1 << 63) - 1  # Catalyst's Long.MaxValue "no estimate" marker
+
+
+def _auto_strategy(size_src: DataFrame) -> str:
+    """Pick "local" (small: executor-local checkpoint) vs "persist" (big:
+    fault-tolerant DISK_ONLY) from the Catalyst size estimate of
+    `size_src` — the INPUT docs plan, whose parquet-scan statistics are
+    real, not the exploded gram plan whose stats degenerate to
+    Long.MaxValue. The gram table is a small constant factor of the corpus
+    text bytes, so the docs estimate is the right monotone proxy. Unknown
+    or failed estimates fall back to the fault-tolerant choice."""
+    try:
+        est = int(
+            size_src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return "persist"
+    if est >= _STATS_UNKNOWN:
+        return "persist"
+    return "local" if est <= GRAM_LOCAL_CKPT_MAX_BYTES else "persist"
+
+
+def df_filtered_grams(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = 1000,
+) -> DataFrame:
+    """Full-corpus gram table with the document-frequency cutoff applied.
+
+    The cutoff MUST count df over the WHOLE corpus: candidate-verification
+    paths that restrict the gram table to candidate ids BEFORE the cutoff
+    would count candidate-local frequencies (candidate-df <= corpus-df), so a
+    boilerplate gram with corpus df above the cutoff but candidate df below
+    it would survive there while plain `jaccard_pairs` drops it — changing
+    shared counts and |A|/|B| sizes. Verified paths therefore call this
+    first, then left_semi-restrict, then run `jaccard_pairs(...,
+    max_gram_df=None)`."""
+    g = word_ngrams(docs, n, text_col, id_col)
+    if max_gram_df is not None:
+        df_counts = g.groupBy("gram").agg(F.count("*").alias("__df"))
+        g = g.join(df_counts.where(F.col("__df") <= max_gram_df), "gram").drop("__df")
+    return g
+
+
+def restricted_filtered_grams(
+    docs: DataFrame,
+    cand_ids: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = 1000,
+    materialize: str = "auto",
+) -> DataFrame:
+    """Candidate-restricted gram table with the FULL-corpus df cutoff — the
+    shape candidate-verification paths need. Document frequency must count
+    over the whole corpus (see df_filtered_grams), but the expensive
+    gram-vs-df join only has to touch candidate docs' grams, so the
+    left_semi restriction to `cand_ids` (a df with one `id` column) runs
+    FIRST and the corpus-df filter second — identical output, candidate-
+    proportional join cost. The unrestricted gram table feeds both the df
+    count and the restricted branch, so it is materialized once."""
+    g0 = _materialize(
+        word_ngrams(docs, n, text_col, id_col), materialize, size_src=docs
+    )
+    gc = g0.join(cand_ids, "id", "left_semi")
+    if max_gram_df is not None:
+        keep = (
+            g0.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_gram_df)
+            .select("gram")
+        )
+        gc = gc.join(keep, "gram", "left_semi")
+    return gc
 
 
 def word_ngrams(
@@ -40,6 +149,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     max_gram_df: int | None = 1000,
     grams: DataFrame | None = None,
+    materialize: str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, jaccard_10k) for pairs with n-gram Jaccard >= threshold.
 
@@ -49,14 +159,16 @@ def jaccard_pairs(
     scale. Grams above the document-frequency cutoff are dropped BEFORE the
     self-join (and excluded from |A|/|B| so Jaccard stays consistent); pass
     None to disable for exact-parity runs."""
-    g = grams if grams is not None else word_ngrams(docs, n, text_col, id_col)
-    if max_gram_df is not None:
-        df_counts = g.groupBy("gram").agg(F.count("*").alias("__df"))
-        g = g.join(df_counts.where(F.col("__df") <= max_gram_df), "gram").drop("__df")
-    # the gram table feeds THREE plan branches (per-doc sizes + both sides of
-    # the self-join); without a checkpoint the split+explode+distinct (+ df
-    # cutoff) lineage re-executes per branch — measured 2.8s -> 1.9s at sf0.1
-    g = g.localCheckpoint()
+    if grams is not None:
+        g = grams
+        if max_gram_df is not None:
+            df_counts = g.groupBy("gram").agg(F.count("*").alias("__df"))
+            g = g.join(
+                df_counts.where(F.col("__df") <= max_gram_df), "gram"
+            ).drop("__df")
+    else:
+        g = df_filtered_grams(docs, n, text_col, id_col, max_gram_df)
+    g = _materialize(g, materialize, size_src=docs)
     sizes = g.groupBy("id").agg(F.count("*").alias("n_grams"))
 
     a = g.select(F.col("id").alias("id_a"), "gram")

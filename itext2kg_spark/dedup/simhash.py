@@ -61,7 +61,7 @@ def simhash_pairs(
     width = 64 // bands
     sigs = docs.select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: plan builders stay side-effect-free
 
     blocks = sigs.select(
         "id",
@@ -103,6 +103,7 @@ def simhash_verified_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_gram_df: int | None = 1000,
 ) -> DataFrame:
     """SimHash candidates verified by exact n-gram Jaccard — (id_a, id_b,
     jaccard_10k), identical to `ngram.jaccard_pairs` whenever every true
@@ -112,23 +113,31 @@ def simhash_verified_pairs(
     which makes the exact-Jaccard SQL this operator's DuckDB oracle. Same shape as minhash_lsh_pairs' verify step:
     the gram equi-join is restricted to candidate ids (left_semi), so exact
     verification cost tracks candidate volume, not corpus size."""
-    from itext2kg_spark.dedup.ngram import jaccard_pairs, word_ngrams
+    from itext2kg_spark.dedup.ngram import (
+        jaccard_pairs,
+        restricted_filtered_grams,
+    )
 
     # checkpoint the (small) candidate pair set: it feeds three consumers
     # (two id projections + the final semi-join) and its lineage contains the
     # multi-million-row band join
     cand = simhash_pairs(docs, max_hamming, bands, text_col, id_col).select(
         "id_a", "id_b"
-    ).localCheckpoint()
-    grams = word_ngrams(docs, n, text_col, id_col)
+    ).localCheckpoint(eager=False)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    grams_c = grams.join(cand_ids, "id", "left_semi")
+    # df cutoff counts over the FULL corpus (round-4 advice: candidate-local
+    # df kept boilerplate grams that plain jaccard_pairs drops); the
+    # restriction-then-filter order inside keeps the join cost
+    # candidate-proportional
+    grams_c = restricted_filtered_grams(
+        docs, cand_ids, n, text_col, id_col, max_gram_df
+    )
     exact = jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
-        grams=grams_c,
+        grams=grams_c, max_gram_df=None,
     )
     return exact.join(cand, ["id_a", "id_b"], "left_semi")

@@ -405,3 +405,73 @@ FROM docs d LEFT JOIN sig0 s USING (doc_id)
     )
     for i, t in enumerate(texts):
         assert _simhash(t) & ((1 << 64) - 1) == int(rows[i]), repr(t)
+
+
+def test_verified_df_cutoff_counts_full_corpus(spark):
+    """The df cutoff inside candidate-verified dedup must count document
+    frequency over the FULL corpus, not the candidate-restricted gram table
+    (round-4 advice): a boilerplate gram with corpus df above the cutoff but
+    candidate df below it must be dropped by BOTH plain jaccard_pairs and
+    the verified paths, or shared counts / |A| / |B| diverge."""
+    from itext2kg_spark.dedup.simhash import simhash_verified_pairs
+
+    boiler = "all rights reserved worldwide"
+    near_a = "the quick brown fox jumps over the lazy dog " + boiler
+    near_b = "the quick brown fox jumps over the lazy dog tonight " + boiler
+    rows = [(0, near_a), (1, near_b)] + [
+        # six unrelated docs that share ONLY the boilerplate tail: corpus df
+        # of the boiler grams is 8 (> cutoff 3), candidate df is 2 (<= 3)
+        (i, f"totally unrelated filler number {i} with unique words {i*7} " + boiler)
+        for i in range(2, 8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = 3
+    truth = {
+        tuple(r)
+        for r in jaccard_pairs(docs, threshold=0.5, max_gram_df=cut).collect()
+    }
+    got = {
+        tuple(r)
+        for r in simhash_verified_pairs(
+            docs, threshold=0.5, max_hamming=14, bands=16, max_gram_df=cut
+        ).collect()
+    }
+    assert got == truth
+    got_mh = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, max_gram_df=cut).collect()
+    }
+    assert got_mh == truth
+
+
+def test_gram_materialize_guard_flips(spark, docs, monkeypatch):
+    """The "auto" gram materialization picks non-fault-tolerant
+    localCheckpoint only below GRAM_LOCAL_CKPT_MAX_BYTES (estimated); above
+    it the table goes to persist(DISK_ONLY) with lineage retained. Output is
+    identical under every strategy."""
+    from itext2kg_spark.dedup import ngram
+    from pyspark.storagelevel import StorageLevel
+
+    base = {tuple(r) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    for strategy in ("none", "local", "persist"):
+        got = {
+            tuple(r)
+            for r in jaccard_pairs(
+                docs, threshold=0.5, materialize=strategy
+            ).collect()
+        }
+        assert got == base, strategy
+
+    # parquet scans carry real Catalyst size statistics — that is the plan
+    # shape the guard reads (createDataFrame plans report "unknown", which
+    # falls back to the fault-tolerant choice)
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    monkeypatch.setattr(ngram, "GRAM_LOCAL_CKPT_MAX_BYTES", 1)
+    assert ngram._auto_strategy(pq) == "persist"
+    persisted = ngram._materialize(ngram.word_ngrams(pq), "persist")
+    assert persisted.storageLevel == StorageLevel.DISK_ONLY
+    persisted.unpersist()
+    monkeypatch.setattr(ngram, "GRAM_LOCAL_CKPT_MAX_BYTES", 1 << 60)
+    assert ngram._auto_strategy(pq) == "local"
+    # unknown-stats plans (createDataFrame) take the fault-tolerant branch
+    assert ngram._auto_strategy(docs) == "persist"
