@@ -5,22 +5,25 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (41 queries, 37 with DuckDB
+§2 plus the training-data-pipeline additions (42 queries, 39 with DuckDB
 oracles). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
-argmax/avg-max cosine exactly SQL-replicable; exact-mode pipeline runs
-(thresholds > 1 guarantee identity resolution, so the REAL code path must
-equal the exact-merge SQL); md5-derived SimHash bits and LSH hyperplanes
-(DuckDB recomputes signatures bit-exactly). The 4 rows-only queries
-(ann_ivf, kg_build_graph, kg_grammar_pipeline, kg_merge_eval) are the
-genuinely non-SQL numerics — each has a green oracle companion and is
-covered by the pytest differential harness.
+argmax/avg-max/residual-pair cosine exactly SQL-replicable; exact-mode
+pipeline runs (thresholds > 1 guarantee identity resolution, so the REAL
+code path must equal the exact-merge SQL — incl. the full grammar
+extraction path over a Catalyst-generated grammar corpus,
+kg_grammar_exact); md5-derived SimHash bits and LSH hyperplanes (DuckDB
+recomputes signatures bit-exactly). The 3 rows-only queries (ann_ivf,
+kg_build_graph, kg_grammar_pipeline) are the genuinely non-SQL
+similarity/k-means numerics — each has a green oracle companion on the
+same code path and is covered by the pytest differential harness.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -592,28 +595,103 @@ def _q_kg_build_graph(spark, sf_dir):  # rows-only: full similarity-merge path
     )
 
 
-def _q_kg_merge_eval(spark, sf_dir):  # rows-only: J8 + published ER/RR metrics
-    """Full merge-quality row: residual-duplicate counts plus the published
-    ER/RR precision formulas (evaluate_itext2kg_merge.py:213-248, :520-560),
-    with ground-truth mention counts taken from the PRE-merge quintuple
-    table (every subj/obj mention, duplicates kept — the ground-truth
-    analog of the NYT quintuples)."""
+class _OneHotEmbedder:
+    """Deterministic one-hot embedder for the oracle-checked merge-eval
+    query: texts whose first token matches '<prefix><a>z<b>' (the 'z'
+    separator survives ATOM name normalization, unlike '_') embed to basis
+    vector (8 if prefix is an alt-class letter else 0) + b % 8; anything
+    else (labels, unkeyed strings) embeds to the dedicated 'other' basis
+    index 16 — so after the real weighted-entity-embedding path
+    (0.8*emb(name) + 0.2*emb(label), merge/kg.py embed_entities) cosine is
+    exactly 1.0 for same-index names and ~0.059 across, making strict
+    cosine > theta an equi-join on the index that DuckDB replicates from
+    the same generator arithmetic."""
+
+    dim = 17
+
+    @staticmethod
+    def _embed(texts):
+        import re
+
+        import numpy as np
+
+        out = np.zeros((len(texts), _OneHotEmbedder.dim), dtype=np.float32)
+        for r, t in enumerate(texts):
+            tok = str(t).split()[0] if str(t).split() else ""
+            m = re.match(r"([a-z]+?)(\d+)z(\d+)$", tok)
+            if m:
+                alt = m.group(1) in ("x", "hall")
+                out[r, (8 if alt else 0) + int(m.group(3)) % 8] = 1.0
+            else:
+                out[r, 16] = 1.0
+        return out
+
+    def __call__(self, texts):
+        return self._embed(list(texts))
+
+    def udf(self):
+        from pyspark.sql.types import ArrayType, FloatType
+
+        @F.pandas_udf(ArrayType(FloatType()))
+        def embed(s: pd.Series) -> pd.Series:
+            mat = _OneHotEmbedder._embed(s.tolist())
+            return pd.Series(list(mat))
+
+        return embed
+
+
+def _q_kg_merge_eval(spark, sf_dir):
+    """Full merge-quality row, oracle-checked: the published ER/RR precision
+    formulas (evaluate_itext2kg_merge.py:213-248, :520-560) over a REAL
+    exact-mode canonicalization (normalize -> resolve -> remap -> aggregate,
+    the same code path kg_build_graph runs) of a keyed synthetic mention
+    table, with ground-truth mention counts taken from the PRE-merge
+    quintuple table (every subj/obj mention, duplicates kept). The one-hot
+    embedder makes residual-duplicate counting (strict cosine > theta,
+    J8/candidate_pairs) an equi-join on the basis index, which the DuckDB
+    oracle replicates from the generator arithmetic — so the metric
+    arithmetic, clamping, and both residual pair counts are hash-pinned;
+    real-embedding similarity numerics stay owned by the differential
+    harness (tests/test_differential.py, tests/test_quality_eval.py)."""
+    from dataclasses import replace
+
     from itext2kg_spark.config import ATOM
-    from itext2kg_spark.extract.embed import HashEmbedder
     from itext2kg_spark.merge.evaluation import er_rr_precision
     from itext2kg_spark.merge.kg import canonicalize_kg
-    from itext2kg_spark.pipeline import KGPipeline
-    from itext2kg_spark.sources.pages import synth_pages
 
-    n = 150 if "0.001" in sf_dir else (400 if "0.01" in sf_dir else 1200)
-    pipe = KGPipeline(ATOM)
-    q = pipe.quintuples_from_pages(synth_pages(spark, n, seed=11)).localCheckpoint()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("i"),
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    d, i = F.col("doc_id"), F.col("i")
+    empty = F.array().cast("array<string>")
+    q = base.select(
+        F.concat(F.lit("doc://"), s(d)).alias("url"),
+        (F.lit(1704067200) + (d % 365) * 86400).cast("long").alias("obs_ts"),
+        F.concat(F.lit("fact_"), s(d), F.lit("_"), s(i)).alias("fact"),
+        i.cast("long").alias("fact_idx"),
+        F.concat(F.lit("e"), s((d * 5 + i) % 5), F.lit("z"), s((d + i) % 4)
+                 ).alias("subj_name"),
+        F.lit("entity").alias("subj_label"),
+        F.concat(F.lit("r"), s((d + i) % 3), F.lit("z"), s((d * 2 + i) % 4)
+                 ).alias("pred"),
+        F.concat(F.lit("x"), s((d * 3 + i) % 4), F.lit("z"), s((d * 2 + i) % 5)
+                 ).alias("obj_name"),
+        F.lit("entity").alias("obj_label"),
+        empty.alias("t_start"),
+        empty.alias("t_end"),
+    ).localCheckpoint()
     n_quint = q.count()
-    entities, edges = canonicalize_kg(q, ATOM, HashEmbedder())
+    cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0, rel_threshold=2.0))
+    entities, edges = canonicalize_kg(q, cfg, _OneHotEmbedder())
     return er_rr_precision(
         entities,
         edges,
-        HashEmbedder(),
+        _OneHotEmbedder(),
         gt_entity_mentions=2 * n_quint,
         gt_relation_mentions=n_quint,
         threshold=0.8,
@@ -969,6 +1047,86 @@ def _q_kg_build_graph_temporal(spark, sf_dir):
     )
 
 
+def _q_kg_grammar_exact(spark, sf_dir):
+    """The FULL grammar pipeline (html envelope -> Arrow distill -> sentence
+    split -> vectorized pandas .str.extract grammar extraction -> timeparse
+    -> canonicalization), oracle-checked end-to-end: the corpus is generated
+    with pure Catalyst from doc_id arithmetic in the exact sentence grammar
+    GrammarExtractor inverts (all 5 forms, ISO and 'March 05, 2024'-style
+    dates), and with both similarity thresholds above 1.0 resolution is the
+    identity — so the canonical edge set equals the generator-arithmetic SQL
+    by construction. This pins the same code path kg_grammar_pipeline runs
+    (KGPipeline default extraction), leaving only the similarity-merge
+    numerics to the differential harness."""
+    from dataclasses import replace
+
+    from itext2kg_spark.config import ATOM
+    from itext2kg_spark.pipeline import KGPipeline
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def sent(i):
+        form = (d + 2 * i) % 5
+        person = F.concat(F.lit("anna"), s((d * 7 + i) % 31))
+        role = F.element_at(
+            F.array(F.lit("ceo"), F.lit("cto"), F.lit("founder")),
+            ((d + i) % 3 + 1).cast("int"),
+        )
+        org = F.concat(F.lit("org"), s((d * 3 + i) % 17), F.lit(" corp"))
+        org2 = F.concat(F.lit("org"), s((d * 5 + i + 1) % 17), F.lit(" corp"))
+        dt = F.date_add(
+            F.lit("2024-01-01").cast("date"), ((d * 2 + i) % 500).cast("int")
+        )
+        # even (d+i): ISO fast-path; odd: 'March 05, 2024' dateutil branch
+        dstr = F.when((d + i) % 2 == 0, s(dt)).otherwise(
+            F.date_format(dt, "MMMM dd, yyyy")
+        )
+        c = F.concat
+        lit = F.lit
+        return (
+            F.when(form == 0, c(person, lit(" is the "), role, lit(" of "),
+                                org, lit(" since "), dstr, lit(".")))
+            .when(form == 1, c(person, lit(" is no longer the "), role,
+                               lit(" of "), org, lit(" since "), dstr, lit(".")))
+            .when(form == 2, c(person, lit(" works at "), org,
+                               lit(" since "), dstr, lit(".")))
+            .when(form == 3, c(person, lit(" no longer works at "), org,
+                               lit(" since "), dstr, lit(".")))
+            .otherwise(c(org, lit(" acquired "), org2, lit(" on "), dstr,
+                         lit(".")))
+        )
+
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(0), (d % 3).cast("int")), sent), " "
+    )
+    corpus = docs.select(
+        "doc_id", text.alias("text"), F.lit("en").alias("lang")
+    )
+    cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0, rel_threshold=2.0))
+    pipe = KGPipeline(cfg)
+    _, edges = pipe.build_graph(pages_from_documents(corpus))
+
+    def joined(col):
+        return F.array_join(
+            F.transform(
+                F.array_sort(col), lambda x: x.cast("long").cast("string")
+            ),
+            ",",
+        )
+
+    return edges.select(
+        "src_name", "src_label", "pred", "dst_name", "dst_label",
+        F.size("t_obs").cast("long").alias("n_obs"),
+        joined(F.col("t_obs")).alias("t_obs_list"),
+        joined(F.col("t_start")).alias("t_start_list"),
+        joined(F.col("t_end")).alias("t_end_list"),
+        F.size("atomic_facts").cast("long").alias("n_facts"),
+    )
+
+
 def _q_kg_distill_text(spark, sf_dir):
     """S1 byte-identity invariant, oracle-checked directly: wrap every
     document in the html envelope (pages_from_documents), run the REAL
@@ -1114,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_build_graph": _q_kg_build_graph,
         "kg_build_graph_exact": _q_kg_build_graph_exact,
         "kg_build_graph_temporal": _q_kg_build_graph_temporal,
+        "kg_grammar_exact": _q_kg_grammar_exact,
         "kg_incremental_exact": _q_kg_incremental_exact,
         "kg_grammar_pipeline": _q_kg_grammar_pipeline,
         "kg_merge_eval": _q_kg_merge_eval,
@@ -1421,6 +1580,53 @@ SELECT src_name, src_label, pred, dst_name, dst_label FROM e
 UNION ALL
 SELECT name, label, 'repair', 'anchor', 'a' FROM iso
 """,
+        "kg_merge_eval": """
+-- generator-arithmetic replica of the keyed merge-eval corpus: the Spark
+-- side runs REAL exact-mode canonicalization + er_rr_precision with the
+-- one-hot embedder, under which strict cosine > 0.8 is equality of the
+-- one-hot basis index — residual pairs = sum over index classes of C(n,2)
+WITH mb AS (
+  SELECT doc_id, unnest(range((doc_id % 3) + 1)) AS i FROM documents
+),
+m AS (
+  SELECT doc_id, i,
+         (doc_id*5+i) % 5 AS ea, (doc_id+i) % 4 AS eb,
+         (doc_id*3+i) % 4 AS xa, (doc_id*2+i) % 5 AS xb,
+         (doc_id+i) % 3 AS rc, (doc_id*2+i) % 4 AS rk
+  FROM mb
+),
+nq AS (SELECT count(*) AS n FROM m),
+ents AS (
+  SELECT 'e' AS cls, ea AS a, eb AS b FROM m
+  UNION
+  SELECT 'x', xa, xb FROM m
+),
+ne AS (SELECT count(*) AS n FROM ents),
+ep AS (
+  SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) AS pairs
+  FROM (SELECT cls, b % 8 AS idx, count(*) AS c FROM ents GROUP BY cls, b % 8)
+),
+rels AS (SELECT DISTINCT rc, rk FROM m),
+nr AS (SELECT count(*) AS n FROM rels),
+rp AS (
+  SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) AS pairs
+  FROM (SELECT rk % 8 AS idx, count(*) AS c FROM rels GROUP BY rk % 8)
+)
+SELECT
+  CAST(floor(greatest(0.0, least(1.0,
+       1.0 - ep.pairs / CAST(2 * nq.n - ne.n AS DOUBLE))) * 10000) AS BIGINT)
+    AS er_precision_10k,
+  CAST(floor(greatest(0.0, least(1.0,
+       1.0 - rp.pairs / CAST(nq.n - nr.n AS DOUBLE))) * 10000) AS BIGINT)
+    AS rr_precision_10k,
+  ne.n AS n_entities,
+  ep.pairs AS residual_entity_pairs,
+  nr.n AS n_relations,
+  rp.pairs AS residual_relation_pairs,
+  CAST(2 * nq.n AS BIGINT) AS gt_entity_mentions,
+  CAST(nq.n AS BIGINT) AS gt_relation_mentions
+FROM nq, ne, ep, nr, rp
+""",
         "kg_er_metrics": """
 WITH e AS (
   SELECT vec_id,
@@ -1552,6 +1758,66 @@ SELECT src_name, src_label, pred, dst_name, dst_label,
        CAST(0 AS BIGINT) AS n_end,
        array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
 FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        "kg_grammar_exact": """
+-- generator-arithmetic replica of the Catalyst-built grammar corpus: the
+-- Spark side flows the generated sentences through the REAL pipeline
+-- (distill -> split -> grammar regex extraction -> timeparse -> exact-mode
+-- canonicalization); this SQL computes the expected edge table directly
+WITH gb AS (
+  SELECT doc_id, unnest(range((doc_id % 3) + 1)) AS i FROM documents
+),
+gq AS (
+  SELECT doc_id, i, (doc_id + 2*i) % 5 AS form,
+         'anna' || ((doc_id*7+i) % 31) AS person,
+         CASE ((doc_id+i) % 3) WHEN 0 THEN 'ceo' WHEN 1 THEN 'cto'
+              ELSE 'founder' END AS role,
+         'org' || ((doc_id*3+i) % 17) || ' corp' AS org,
+         'org' || ((doc_id*5+i+1) % 17) || ' corp' AS org2,
+         DATE '2024-01-01' + CAST((doc_id*2+i) % 500 AS INT) AS dt,
+         CAST(1704067200 + (doc_id % 365) * 86400 AS BIGINT) AS tobs
+  FROM gb
+),
+q AS (
+  SELECT doc_id, i, form, tobs,
+         CASE WHEN form = 4 THEN org ELSE person END AS src_name,
+         CASE WHEN form = 4 THEN 'company' ELSE 'person' END AS src_label,
+         CASE WHEN form IN (0, 1) THEN role || '_of'
+              WHEN form IN (2, 3) THEN 'works_at'
+              ELSE 'acquired' END AS pred,
+         CASE WHEN form = 4 THEN org2 ELSE org END AS dst_name,
+         'company' AS dst_label,
+         CAST(epoch(dt) AS BIGINT) AS ts
+  FROM gq
+),
+k AS (SELECT DISTINCT src_name, src_label, pred, dst_name, dst_label FROM q),
+obs AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         count(*) AS n_obs,
+         array_to_string(list_sort(list(CAST(tobs AS VARCHAR))), ',') AS t_obs_list,
+         count(*) AS n_facts
+  FROM q GROUP BY 1, 2, 3, 4, 5
+),
+-- 10-digit epochs: lexicographic VARCHAR sort == numeric sort
+tsl AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         array_to_string(list_sort(list(CAST(ts AS VARCHAR))), ',') AS t_start_list
+  FROM q WHERE form IN (0, 2, 4) GROUP BY 1, 2, 3, 4, 5
+),
+tel AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         array_to_string(list_sort(list(CAST(ts AS VARCHAR))), ',') AS t_end_list
+  FROM q WHERE form IN (1, 3) GROUP BY 1, 2, 3, 4, 5
+)
+SELECT k.src_name, k.src_label, k.pred, k.dst_name, k.dst_label,
+       o.n_obs, o.t_obs_list,
+       COALESCE(ts.t_start_list, '') AS t_start_list,
+       COALESCE(te.t_end_list, '') AS t_end_list,
+       o.n_facts
+FROM k
+JOIN obs o USING (src_name, src_label, pred, dst_name, dst_label)
+LEFT JOIN tsl ts USING (src_name, src_label, pred, dst_name, dst_label)
+LEFT JOIN tel te USING (src_name, src_label, pred, dst_name, dst_label)
 """,
         "kg_build_graph_temporal": f"""
 WITH tbase AS (
