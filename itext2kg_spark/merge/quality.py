@@ -58,6 +58,8 @@ MapInPandas, nothing else.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -79,27 +81,75 @@ from itext2kg_spark.extract.embed import hash_embed_texts
 #: for the oracle queries.
 _DEFAULT_ANCHOR = None  # set lazily (datetime import kept out of hot path)
 
+_DATEPARSER = None  # lazily resolved: the real `dateparser` module, or False
+
+
+def _dateparser_mod():
+    global _DATEPARSER
+    if _DATEPARSER is None:
+        try:
+            import dateparser as _dp
+
+            # the pytest parity harness shims `dateparser` WITH this
+            # module's parse_datetime (tests/ref_loader.py) — treating the
+            # shim as the real parser would recurse; only a genuine
+            # dateparser counts
+            if getattr(_dp, "__spark_graft_shim__", False) or (
+                getattr(_dp.parse, "__module__", "") == __name__
+            ):
+                _DATEPARSER = False
+            else:
+                _DATEPARSER = _dp
+        except Exception:  # noqa: BLE001 — absent in this container
+            _DATEPARSER = False
+    return _DATEPARSER or None
+
 
 def parse_datetime(value, settings=None):
-    """dateutil parse-or-None. The engine-side analog of `dateparser.parse`
-    as the reference's `temporal_similar` uses it (calculate_quintuples_
-    quality.py:173-179): returns a datetime on success, None on any failure
-    (dateparser returns None; dateutil raises — normalized here). `settings`
-    is accepted and ignored so this function can shim `dateparser.parse`
-    call sites that pass dateparser settings dicts
-    (plot_exhaustivity_factoids.py:276)."""
-    global _DEFAULT_ANCHOR
-    from dateutil import parser as dparser
+    """Parse-or-None with the reference's parser when available.
 
+    The reference mines dates with `dateparser.parse(phrase,
+    settings={'PREFER_DAY_OF_MONTH': 'first'})`
+    (plot_exhaustivity_factoids.py:276) and `temporal_similar` parses
+    quintuple fields the same way (calculate_quintuples_quality.py:173-179).
+    When the real `dateparser` is importable it is used first, with the
+    caller's settings plus PREFER_DAY_OF_MONTH='first' and a pinned
+    RELATIVE_BASE of 2020-01-01 unless the caller overrides them.
+
+    Documented deltas vs a stock reference run:
+      * RELATIVE_BASE pinning — stock dateparser resolves relative phrases
+        ("last week") and missing components against *now*; the pin trades
+        that for run-to-run determinism (a hard requirement for the oracle
+        queries, whose corpora use fully-specified ISO dates where the two
+        behaviors agree).
+      * dateutil fallback (this container has no dateparser) — for
+        fully-specified dates the two parsers agree
+        (tests/test_quality_eval.py fixture test bounds this); divergence
+        is confined to relative/multilingual phrases dateutil rejects.
+    """
+    global _DEFAULT_ANCHOR
     if value is None:
         return None
     if _DEFAULT_ANCHOR is None:
         from datetime import datetime
 
         _DEFAULT_ANCHOR = datetime(2020, 1, 1)
+    dp = _dateparser_mod()
+    if dp is not None:
+        merged = {
+            "PREFER_DAY_OF_MONTH": "first",
+            "RELATIVE_BASE": _DEFAULT_ANCHOR,
+            **(settings or {}),
+        }
+        try:
+            return dp.parse(str(value), settings=merged)
+        except Exception:  # noqa: BLE001 — dateparser contract is None-on-fail
+            return None
+    from dateutil import parser as dparser
+
     try:
         return dparser.parse(str(value), default=_DEFAULT_ANCHOR)
-    except Exception:
+    except Exception:  # noqa: BLE001 — normalize raise -> None
         return None
 
 
@@ -346,22 +396,53 @@ def score_exhaustivity(quintuples, gold_quintuples, embed_fn=None, threshold=0.7
 # ---------------------------------------------------------------------------
 
 
-def extract_temporal_dates(text, parse=parse_datetime):
+#: Cheap token gate for the dateutil fallback: a phrase can only parse when
+#: at least one of its tokens carries a digit or starts (after leading
+#: punctuation) with a month/weekday name prefix — dateutil's grammar has no
+#: other date-bearing tokens (its JUMP whitelist words are skipped, and
+#: am/pm/timezone tokens never parse alone). False positives ("market"
+#: matches "mar") only cost a parse attempt that fails exactly as before.
+_DATEISH_TOKEN = re.compile(
+    r"\d|^[^a-zA-Z]*"
+    r"(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec"
+    r"|mon|tue|wed|thu|fri|sat|sun)",
+    re.IGNORECASE,
+)
+
+
+def extract_temporal_dates(text, parse=parse_datetime, prefilter=None):
     """Date mining from free text — the reference's inner
     `extract_temporal_info_from_text` (plot_exhaustivity_factoids.py:263-290):
     every whitespace phrase of 1..9 words is fed to the parser; successful
     parses contribute their calendar date; the result is the deduplicated
     list. (The reference calls `dateparser.parse(phrase,
-    settings={'PREFER_DAY_OF_MONTH': 'first'})`; this engine's parse_datetime
-    anchors partial dates at 2020-01-01, and the parity tests shim
-    `dateparser` with parse_datetime so both systems mine with one parser.)"""
+    settings={'PREFER_DAY_OF_MONTH': 'first'})`; parse_datetime uses the
+    real dateparser when importable and the dateutil shim otherwise.)
+
+    `prefilter` gates the O(words x 10) parse loop with _DATEISH_TOKEN:
+    windows containing no date-ish token are skipped without a parser call —
+    identical output under the dateutil fallback, ~10x fewer parser calls on
+    prose. None (default) auto-enables it ONLY when the parser is the
+    dateutil fallback; with real dateparser (which parses relative and
+    multilingual phrases the token gate cannot see) or a custom `parse`, the
+    full loop runs."""
     if not text or not isinstance(text, str):
         return []
     try:
         dates = []
         words = text.split()
+        if prefilter is None:
+            prefilter = parse is parse_datetime and _dateparser_mod() is None
+        if prefilter:
+            # nd[i] = first date-ish token index >= i (len(words) if none):
+            # the window words[i:j] is attempted iff nd[i] < j
+            nd = [len(words)] * (len(words) + 1)
+            for k in range(len(words) - 1, -1, -1):
+                nd[k] = k if _DATEISH_TOKEN.search(words[k]) else nd[k + 1]
         for i in range(len(words)):
             for j in range(i + 1, min(i + 10, len(words) + 1)):
+                if prefilter and nd[i] >= j:
+                    continue
                 phrase = " ".join(words[i:j])
                 try:
                     parsed = parse(phrase)

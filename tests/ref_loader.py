@@ -158,6 +158,9 @@ def _shim_dateparser():
 
     mod = _shim_module("dateparser")
     mod.parse = parse_datetime
+    # marker so the engine's dateparser-first path never mistakes the shim
+    # for the real module (it would recurse into parse_datetime)
+    mod.__spark_graft_shim__ = True
     sys.modules["dateparser"] = mod
 
 
