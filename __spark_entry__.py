@@ -5,18 +5,19 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (42 queries, 39 with DuckDB
+§2 plus the training-data-pipeline additions (42 queries, 40 with DuckDB
 oracles). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
 argmax/avg-max/residual-pair cosine exactly SQL-replicable; exact-mode
 pipeline runs (thresholds > 1 guarantee identity resolution, so the REAL
 code path must equal the exact-merge SQL — incl. the full grammar
 extraction path over a Catalyst-generated grammar corpus,
-kg_grammar_exact); md5-derived SimHash bits and LSH hyperplanes (DuckDB
-recomputes signatures bit-exactly). The 3 rows-only queries (ann_ivf,
-kg_build_graph, kg_grammar_pipeline) are the genuinely non-SQL
-similarity/k-means numerics — each has a green oracle companion on the
-same code path and is covered by the pytest differential harness.
+kg_grammar_exact); md5-derived SimHash bits, LSH hyperplanes and IVF
+centroids (DuckDB recomputes signatures, cell assignments and probes
+bit-exactly). The 2 rows-only queries (kg_build_graph,
+kg_grammar_pipeline) are the genuinely non-SQL similarity-merge numerics —
+each has a green exact-mode oracle companion on the same code path and is
+covered by the pytest differential harness.
 """
 
 from __future__ import annotations
@@ -257,12 +258,22 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
-def _q_ann_ivf(spark, sf_dir):  # rows-only (approximate by construction)
+def _q_ann_ivf(spark, sf_dir):
+    """IVF top-k, oracle-checked end-to-end: centroid_source="md5" swaps the
+    k-means quantizer for data-independent Rademacher centroids from the
+    same md5 bit source as the LSH planes, so the DuckDB oracle recomputes
+    centroids, max-dot cell assignment, the n_probe nearest query cells,
+    the cell-bucket candidate join and the cosine re-rank exactly — the
+    full IVF path pinned, approximation and all. The k-means quantizer
+    numerics stay covered by ann_ivf_recall (full-probe == brute force) and
+    the auto-scaling recall test."""
     from itext2kg_spark.similarity.ann import ann_topk_ivf
 
     vecs = _vecs(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") < 20)
-    return ann_topk_ivf(queries, vecs, k=5, n_cells=16, n_probe=4)
+    return ann_topk_ivf(
+        queries, vecs, k=5, n_cells=16, n_probe=4, centroid_source="md5"
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def _q_kg_repair(spark, sf_dir):
@@ -1476,6 +1487,58 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 """
 
 
+_ANN_IVF_SQL = """
+-- exact SQL replica of ann_topk_ivf(centroid_source='md5', n_cells=16,
+-- n_probe=4, seed=7, k=5): centroid (c,d) weight = 2*(md5_number_upper(
+-- '7:c:d')&1)-1; corpus rows join their argmax-dot cell, queries probe
+-- their 4 nearest cells (ties by lower cell index, matching numpy's
+-- stable argsort); candidates from cell equality; exact cosine re-rank
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+cents AS (
+  SELECT c.c, d.d,
+         CAST(2 * CAST(md5_number_upper('7:' || c.c || ':' || d.d) & 1 AS BIGINT) - 1
+              AS DOUBLE) AS w
+  FROM (SELECT unnest(range(16)) AS c) c
+  CROSS JOIN (SELECT unnest(range(64)) AS d) d
+),
+dots AS (
+  SELECT e.vec_id, ct.c, sum(e.u[ct.d + 1] * ct.w) AS dot
+  FROM e CROSS JOIN cents ct
+  GROUP BY e.vec_id, ct.c
+),
+ranked AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+  FROM dots
+),
+corpus_cell AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+query_cells AS (SELECT vec_id, c AS cell FROM ranked WHERE rn <= 4 AND vec_id < 20),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+  FROM query_cells q JOIN corpus_cell cc ON q.cell = cc.cell
+  WHERE q.vec_id <> cc.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(eq.u, ec.u) AS sim
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e ec ON ec.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
 _ANN_TOPK_SQL = """
 WITH e AS (
   SELECT vec_id,
@@ -1737,6 +1800,7 @@ FROM gc g LEFT JOIN pc p USING (doc_id) LEFT JOIN h USING (doc_id)
 """,
         "dedup_simhash": _SIMHASH_SQL,
         "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
         "ann_lsh_recall": """
 SELECT vec_id AS query_id, TRUE AS top1_found
 FROM embeddings WHERE vec_id < 20

@@ -38,6 +38,29 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType
 from itext2kg_spark.config import MatchConfig
 
 
+def md5_rademacher(seed: int, n_rows: int, dim: int) -> "np.ndarray":
+    """(n_rows, dim) Rademacher (+-1) float64 matrix whose entry (p, d) is
+    2*(md5("{seed}:{p}:{d}") first-8-bytes-little-endian & 1) - 1 — exactly
+    DuckDB's `md5_number_upper('{seed}:{p}:{d}') & 1`, so any operator built
+    on these rows (LSH hyperplanes, IVF coarse centroids) is bit-for-bit
+    replicable in the SQL oracle."""
+    import hashlib
+
+    bits01 = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "little"
+            )
+            & 1
+            for p in range(n_rows)
+            for d in range(dim)
+        ),
+        dtype=np.int64,
+        count=n_rows * dim,
+    )
+    return (2 * bits01 - 1).reshape(n_rows, dim).astype(np.float64)
+
+
 def lsh_signatures_udf(dim: int, rows: int, bands: int, seed: int,
                        plane_source: str = "gauss"):
     """pandas UDF: unit embedding -> array<long> of `bands` band signatures.
@@ -54,21 +77,7 @@ def lsh_signatures_udf(dim: int, rows: int, bands: int, seed: int,
     whole LSH path oracle-checkable; this mode computes dots in float64 so
     the sign decisions match a SQL engine's double arithmetic."""
     if plane_source == "md5":
-        import hashlib
-
-        bits01 = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:8], "little"
-                )
-                & 1
-                for p in range(bands * rows)
-                for d in range(dim)
-            ),
-            dtype=np.int64,
-            count=bands * rows * dim,
-        )
-        planes = (2 * bits01 - 1).reshape(bands * rows, dim).astype(np.float64)
+        planes = md5_rademacher(seed, bands * rows, dim)
         dtype = np.float64
     else:
         rng = np.random.Generator(np.random.PCG64(seed))

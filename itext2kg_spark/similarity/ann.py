@@ -119,9 +119,19 @@ def ann_topk_ivf(
     seed: int = 7,
     kmeans_iters: int = 5,
     sample_size: int = 10_000,
+    centroid_source: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer -> cell-bucketed
+    """IVF (inverted-file) ANN: coarse quantizer -> cell-bucketed
     equi-join -> exact re-rank within probed cells.
+
+    centroid_source="kmeans" (default) trains the quantizer with the
+    driver-side mini k-means below. centroid_source="md5" uses
+    data-independent Rademacher centroids (md5_rademacher — same bit source
+    as the LSH md5 planes), trading per-dataset cell balance for exact
+    SQL replicability: DuckDB recomputes the centroids, assignments and
+    probes bit-for-bit, making the whole IVF path oracle-checkable
+    (cell assignment by max dot product is invariant to the uniform
+    positive centroid scale, so the +-1 rows need no normalization).
 
     Training is a driver-side mini k-means over a bounded sample (spherical:
     centroids re-normalized each iteration, assignment by max dot product —
@@ -146,29 +156,43 @@ def ann_topk_ivf(
     c = _prep(corpus, id_col, emb_col, "neighbor")
     q = _prep(queries, id_col, emb_col, "query")
 
-    sample = (
-        c.orderBy("neighbor_id").limit(sample_size).select("neighbor_emb").collect()
-    )
-    mat = np.asarray([np.asarray(r["neighbor_emb"]) for r in sample])
-    if len(mat) == 0:
-        return ann_topk_bruteforce(queries, corpus, k, id_col, emb_col)
-    if n_cells is None:
-        n_corpus = len(mat) if len(mat) < sample_size else c.count()
-        n_cells = max(1, min(int(np.ceil(np.sqrt(n_corpus))), 4096))
-    if n_probe is None:
-        n_probe = max(3, -(-n_cells // 8))
-    rng = np.random.Generator(np.random.PCG64(seed))
-    n_cells_eff = min(n_cells, len(mat))
-    cent = mat[rng.choice(len(mat), n_cells_eff, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = (mat @ cent.T).argmax(axis=1)
-        for j in range(n_cells_eff):
-            members = mat[assign == j]
-            if len(members):
-                v = members.sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[j] = v / n
+    if centroid_source == "md5":
+        from itext2kg_spark.merge.candidates import md5_rademacher
+
+        if n_cells is None:
+            n_corpus = c.count()
+            n_cells = max(1, min(int(np.ceil(np.sqrt(n_corpus))), 4096))
+        if n_probe is None:
+            n_probe = max(3, -(-n_cells // 8))
+        dim_row = c.select(F.size("neighbor_emb").alias("d")).first()
+        if dim_row is None:
+            return ann_topk_bruteforce(queries, corpus, k, id_col, emb_col)
+        cent = md5_rademacher(seed, n_cells, int(dim_row["d"]))
+    else:
+        sample = (
+            c.orderBy("neighbor_id").limit(sample_size)
+            .select("neighbor_emb").collect()
+        )
+        mat = np.asarray([np.asarray(r["neighbor_emb"]) for r in sample])
+        if len(mat) == 0:
+            return ann_topk_bruteforce(queries, corpus, k, id_col, emb_col)
+        if n_cells is None:
+            n_corpus = len(mat) if len(mat) < sample_size else c.count()
+            n_cells = max(1, min(int(np.ceil(np.sqrt(n_corpus))), 4096))
+        if n_probe is None:
+            n_probe = max(3, -(-n_cells // 8))
+        rng = np.random.Generator(np.random.PCG64(seed))
+        n_cells_eff = min(n_cells, len(mat))
+        cent = mat[rng.choice(len(mat), n_cells_eff, replace=False)]
+        for _ in range(kmeans_iters):
+            assign = (mat @ cent.T).argmax(axis=1)
+            for j in range(n_cells_eff):
+                members = mat[assign == j]
+                if len(members):
+                    v = members.sum(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[j] = v / n
     bc = c.sparkSession.sparkContext.broadcast(cent)
 
     def assign_cells(col_emb: str, col_id: str, probes: int):
