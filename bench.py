@@ -208,12 +208,18 @@ def _headline_roofline(spark) -> float:
 
 def _tenx_docs_dir() -> str:
     """Materialize a 10x-documents corpus ONCE: ten deterministic copies of
-    the sf documents table with shifted ids and a per-copy text prefix (so
-    exact/near-dup structure is preserved per copy but copies do not collapse
-    into one another). Used for the per-query linearity table in the sidecar
-    — the dedup/ANN plans are argued linear in BENCH.md; this times them at
-    10x the audited scale every round."""
-    path = f"/tmp/spark_graft_docs10x_{os.path.basename(SF_DIR.rstrip('/'))}"
+    the sf documents table with shifted ids, kept DISJOINT across copies so
+    per-row near-dup density (and so the true output size) scales ~10x
+    rather than quadratically: every token gets a per-copy suffix (gram
+    space and simhash/minhash signatures across copies share nothing, while
+    each copy preserves the original's internal exact/near-dup structure),
+    and embeddings are circularly shifted by the copy index (random unit
+    vectors vs their rotations are near-orthogonal). The first attempt at
+    this table used a per-copy text PREFIX — one changed token is exactly
+    what near-dup detection tolerates, so all C(10,2) cross-copy pairs
+    matched and the 'x of linear' column measured the corpus, not the
+    operator. Used for the per-query linearity table in the sidecar."""
+    path = f"/tmp/spark_graft_docs10xv2_{os.path.basename(SF_DIR.rstrip('/'))}"
     if not os.path.exists(os.path.join(path, "documents.parquet", "_SUCCESS")):
         from pyspark.sql import functions as F
 
@@ -221,11 +227,19 @@ def _tenx_docs_dir() -> str:
         docs = s.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         n = docs.count()
         copies = s.range(10).select(F.col("id").alias("__copy"))
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(
+                    t, F.format_string("x%d", F.col("__copy"))
+                ),
+            ),
+            " ",
+        )
         big = docs.crossJoin(copies).select(
             (F.col("doc_id") + F.col("__copy") * (n * 10)).alias("doc_id"),
-            F.when(F.col("__copy") == 0, F.col("text")).otherwise(
-                F.concat(F.format_string("c%d ", F.col("__copy")), F.col("text"))
-            ).alias("text"),
+            F.when(F.col("__copy") == 0, F.col("text"))
+            .otherwise(suffixed).alias("text"),
             "lang",
         )
         big.repartition(max(CPUS, 16)).write.mode("overwrite").parquet(
@@ -233,9 +247,16 @@ def _tenx_docs_dir() -> str:
         )
         vecs = s.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         m = vecs.count()
+        dim = len(vecs.first()["embedding"])
+        rotated = F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(
+            F.concat(
+                F.slice(F.col("embedding"), (F.col("__copy") % dim) + 1, dim),
+                F.slice(F.col("embedding"), F.lit(1), F.col("__copy") % dim),
+            )
+        )
         bigv = vecs.crossJoin(copies).select(
             (F.col("vec_id") + F.col("__copy") * (m * 10)).alias("vec_id"),
-            "embedding",
+            rotated.alias("embedding"),
         )
         bigv.repartition(max(CPUS, 16)).write.mode("overwrite").parquet(
             os.path.join(path, "embeddings.parquet")

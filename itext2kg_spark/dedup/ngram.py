@@ -158,7 +158,14 @@ def jaccard_pairs(
     ~5e11 rows — the one way this equi-join formulation goes quadratic at web
     scale. Grams above the document-frequency cutoff are dropped BEFORE the
     self-join (and excluded from |A|/|B| so Jaccard stays consistent); pass
-    None to disable for exact-parity runs."""
+    None to disable for exact-parity runs.
+
+    When `grams` is supplied (candidate-verification paths), `max_gram_df`
+    counts df over THAT table — pass a full-corpus-filtered table (see
+    restricted_filtered_grams) and max_gram_df=None to keep output identical
+    to the unrestricted run. `materialize` controls the gram-table
+    materialization strategy (see _materialize; "auto" size-guards between
+    executor-local checkpoint and fault-tolerant DISK_ONLY persist)."""
     if grams is not None:
         g = grams
         if max_gram_df is not None:

@@ -200,11 +200,17 @@ def candidate_pairs(
         )
 
     # ---- LSH path -----------------------------------------------------------
-    sel = [id_col, emb_col] + (["is_existing"] if has_existing else [])
+    # The band join is ids-only: candidate volume is O(sum bucket_size^2)
+    # rows pre-dedup (measured 82M rows for 20k clustered vectors at 24
+    # bands), and carrying the two embedding arrays through the join + the
+    # pair-dedup shuffle multiplies its bytes ~60x (64-dim float64 pairs =
+    # ~1KB/row vs 16B of ids — ~80GB vs ~1.3GB at that scale). The deduped
+    # pair set joins back to `items` for exact scoring, so the wide arrays
+    # touch only distinct candidate pairs.
+    sel = [id_col] + (["is_existing"] if has_existing else [])
     gate = F.lit(True)
     if has_existing:
         gate = ~(F.col("is_existing_a") & F.col("is_existing_b"))
-    sim = pair_cosine(F.col(f"{emb_col}_a"), F.col(f"{emb_col}_b"))
     if emb_dim:
         dim = emb_dim
     else:  # embedding dim read from one row (the schema doesn't carry it)
@@ -214,11 +220,22 @@ def candidate_pairs(
     sig_items = items.select(*sel, F.explode(sigs(F.col(emb_col))).alias("sig"))
     a = sig_items.select(*[F.col(c).alias(f"{c}_a") for c in sel], F.col("sig"))
     b = sig_items.select(*[F.col(c).alias(f"{c}_b") for c in sel], F.col("sig"))
-    bucketed = a.join(b, "sig").where(
-        (F.col(f"{id_col}_a") < F.col(f"{id_col}_b")) & gate
+    pair_ids = (
+        a.join(b, "sig")
+        .where((F.col(f"{id_col}_a") < F.col(f"{id_col}_b")) & gate)
+        .select(f"{id_col}_a", f"{id_col}_b")
+        .dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
     )
+    ea = items.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col(emb_col).alias(f"{emb_col}_a")
+    )
+    eb = items.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col(emb_col).alias(f"{emb_col}_b")
+    )
+    sim = pair_cosine(F.col(f"{emb_col}_a"), F.col(f"{emb_col}_b"))
     pairs = (
-        bucketed.dropDuplicates([f"{id_col}_a", f"{id_col}_b"])
+        pair_ids.join(ea, f"{id_col}_a")
+        .join(eb, f"{id_col}_b")
         .withColumn("sim", sim)
         .where(F.col("sim") >= threshold if cfg.inclusive else F.col("sim") > threshold)
     )
