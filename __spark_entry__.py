@@ -233,6 +233,24 @@ def _q_dedup_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Keep-one near-dup dedup — the cluster-level form of dedup_minhash:
+    LSH-candidate + exact-Jaccard-verified pairs -> connected components
+    (driver union-find under the broadcast limit, min-label propagation
+    above) -> every document mapped to the min doc_id of its near-dup
+    cluster (singletons map to themselves). This is the primitive a
+    training-data pipeline actually runs at corpus scale (keep one per
+    boilerplate family). Oracle: exact-Jaccard pairs + recursive-CTE
+    reachability closure; identical whenever LSH recall holds (the same
+    contract dedup_minhash already pins)."""
+    from itext2kg_spark.dedup.clusters import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs(spark, sf_dir), threshold=0.8, method="minhash",
+        k=64, bands=16, n=3,
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     from itext2kg_spark.similarity.ann import ann_topk_bruteforce
 
@@ -1301,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2092,6 +2111,7 @@ FROM documents GROUP BY 1
 """,
         "dedup_ngram": _JACCARD_SQL,
         "dedup_minhash": _JACCARD_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
         "dedup_embedding": """
 WITH e AS (
   SELECT vec_id,
@@ -2222,4 +2242,26 @@ SELECT sh.id_a, sh.id_b,
        CAST(floor(10000 * (shared / (x.n + y.n - shared))) AS BIGINT) AS jaccard_10k
 FROM sh JOIN sz x ON sh.id_a = x.id JOIN sz y ON sh.id_b = y.id
 WHERE shared / (x.n + y.n - shared) >= 0.8
+"""
+
+# Keep-one dedup oracle: the exact-Jaccard pair set closed under
+# reachability (recursive CTE = DuckDB's union-find), each doc mapped to the
+# min id of its component. Near-dup graphs at threshold 0.8 are tiny sparse
+# cliques, so the quadratic-in-component-size closure is cheap at gate scale.
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+  WHERE e.dst <> reach.id
+),
+comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(c.mn, d.doc_id)) AS rep_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """

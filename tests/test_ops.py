@@ -475,3 +475,52 @@ def test_gram_materialize_guard_flips(spark, docs, monkeypatch):
     assert ngram._auto_strategy(pq) == "local"
     # unknown-stats plans (createDataFrame) take the fault-tolerant branch
     assert ngram._auto_strategy(docs) == "persist"
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Chained near-dups (a~b, b~c, a!~c) collapse to ONE cluster under the
+    min-id representative; unrelated docs stay singletons; survivors keep
+    exactly one doc per cluster."""
+    from itext2kg_spark.dedup.clusters import dedup_survivors, near_dup_clusters
+
+    base = [f"w{i}" for i in range(50)]
+    b = list(base)
+    b[10] = "xx"
+    c = list(b)
+    c[30] = "yy"
+    rows = [
+        (0, " ".join(base)),
+        (1, " ".join(b)),      # j(0,1) = 45/51 ~ 0.88
+        (2, " ".join(c)),      # j(1,2) ~ 0.88, j(0,2) = 42/54 ~ 0.78 < 0.8
+        (3, " ".join(f"z{i}" for i in range(50))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # premise: the pair graph is exactly the open chain 0-1-2
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert got_pairs == {(0, 1), (1, 2)}
+
+    cl = near_dup_clusters(docs, threshold=0.8, method="minhash")
+    mapping = {r["doc_id"]: r["rep_id"] for r in cl.collect()}
+    assert mapping == {0: 0, 1: 0, 2: 0, 3: 3}
+
+    surv = dedup_survivors(docs, clusters=cl)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [0, 3]
+
+
+def test_near_dup_clusters_pairs_injection(spark):
+    """Any pair family plugs in via `pairs=` (e.g. embedding_near_dups
+    output); docs untouched by a pair map to themselves."""
+    from itext2kg_spark.dedup.clusters import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(5)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+    mapping = {
+        r["doc_id"]: r["rep_id"]
+        for r in near_dup_clusters(docs, pairs=pairs).collect()
+    }
+    assert mapping == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
