@@ -251,6 +251,27 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_corpus_prepare(spark, sf_dir):
+    """The fused training-corpus preparation pass (itext2kg_spark/corpus.py):
+    ONE codegen'd enrichment projection (lang_pred / n_tokens / quality_10k /
+    md5 fingerprint — all pure Catalyst), language + quality/length filters
+    pushed against the scan, exact dedup (min-id per fingerprint, map-side
+    partial agg), then near-dup keep-one over the shrunken survivor set
+    (LSH candidates -> exact-Jaccard verify -> connected components ->
+    min-id representative). Thresholds chosen so every stage acts on the
+    gate corpus: 'en'-only drops the 'und' tail, n_tokens>=20 and
+    quality_10k>=4500 drop the short/low-quality band, near-dup keep-one
+    drops the boilerplate families. Oracle: the same composition in SQL,
+    closed under a recursive-CTE reachability for the cluster stage."""
+    from itext2kg_spark.corpus import prepare_corpus
+
+    out = prepare_corpus(
+        _docs(spark, sf_dir), langs=("en",), min_tokens=20,
+        min_quality_10k=4500, near_dup_threshold=0.8,
+    )
+    return out.select("doc_id", "lang_pred", "n_tokens", "quality_10k", "fp")
+
+
 def _q_ann_topk(spark, sf_dir):
     from itext2kg_spark.similarity.ann import ann_topk_bruteforce
 
@@ -1320,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": _q_dedup_ngram,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_prepare": _q_corpus_prepare,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2112,6 +2134,7 @@ FROM documents GROUP BY 1
         "dedup_ngram": _JACCARD_SQL,
         "dedup_minhash": _JACCARD_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "corpus_prepare": _CORPUS_SQL,
         "dedup_embedding": """
 WITH e AS (
   SELECT vec_id,
@@ -2264,4 +2287,84 @@ comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
 SELECT d.doc_id,
        least(d.doc_id, coalesce(c.mn, d.doc_id)) AS rep_id
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+# Fused corpus-preparation oracle: enrichment (lang vote / token count /
+# quality scalar / md5 fingerprint), lang+quality filters, min-id-per-
+# fingerprint exact dedup, then the near-dup keep-one closure computed over
+# the KEPT set only (gram document frequencies count over the filtered
+# corpus — the engine's near_dup_clusters(kept) sees exactly that corpus).
+_CORPUS_SQL = r"""
+WITH RECURSIVE b AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS lt,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, n_tokens, n_chars, n_punct,
+         len(list_filter(lt, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_en,
+         len(list_filter(lt, x -> x IN ('le','la','les','de','des','et','un','une','est','pour'))) AS n_fr,
+         len(list_filter(lt, x -> x IN ('el','la','los','de','y','un','una','es','que','para'))) AS n_es,
+         len(list_filter(lt, x -> x IN ('der','die','das','und','ein','eine','ist','zu','den','von'))) AS n_de
+  FROM b
+),
+d AS (
+  SELECT doc_id, text,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CASE WHEN greatest(n_en, n_fr, n_es, n_de) = 0 THEN 'und'
+              WHEN n_en = greatest(n_en, n_fr, n_es, n_de) THEN 'en'
+              WHEN n_fr = greatest(n_en, n_fr, n_es, n_de) THEN 'fr'
+              WHEN n_es = greatest(n_en, n_fr, n_es, n_de) THEN 'es'
+              ELSE 'de' END AS lang_pred,
+         CAST(floor((0.5 * least(1.0, n_tokens / 100.0)
+                   + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN n_tokens > 0 THEN n_en / n_tokens ELSE 0.0 END)) * 10000.0) AS BIGINT) AS quality_10k,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM c
+),
+filt AS (
+  SELECT * FROM d
+  WHERE lang_pred IN ('en') AND n_tokens >= 20 AND quality_10k >= 4500
+),
+keeper AS (SELECT fp, min(doc_id) AS doc_id FROM filt GROUP BY fp),
+kept AS (
+  SELECT f.* FROM filt f JOIN keeper k ON f.fp = k.fp AND f.doc_id = k.doc_id
+),
+t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM kept),
+g0 AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+        FROM t2 WHERE len(toks) >= 3)
+),
+gdf AS (SELECT gram, count(*) AS df FROM g0 GROUP BY gram),
+g AS (SELECT g0.id, g0.gram FROM g0 JOIN gdf USING (gram) WHERE df <= 1000),
+sz AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+sh AS (
+  SELECT a.id AS id_a, b2.id AS id_b, count(*) AS shared
+  FROM g a JOIN g b2 USING (gram)
+  WHERE a.id < b2.id GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sh.id_a, sh.id_b
+  FROM sh JOIN sz x ON sh.id_a = x.id JOIN sz y ON sh.id_b = y.id
+  WHERE shared / (x.n + y.n - shared) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+  WHERE e.dst <> reach.id
+),
+comp AS (SELECT id, min(r) AS mn FROM reach GROUP BY id)
+SELECT k.doc_id, k.lang_pred, k.n_tokens, k.quality_10k, k.fp
+FROM kept k LEFT JOIN comp c2 ON k.doc_id = c2.id
+WHERE least(k.doc_id, coalesce(c2.mn, k.doc_id)) = k.doc_id
 """

@@ -48,18 +48,15 @@ def _ratio10k(num: Column, den: Column) -> Column:
     return F.when(den > 0, F.floor(num * 10000.0 / den)).otherwise(F.lit(0)).cast("long")
 
 
-def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """doc_id, n_tokens, punct_ratio_10k, stop_ratio_10k, quality_10k.
-
-    quality = 0.5*min(1, n_tokens/100) + 0.3*(1 - punct_ratio) + 0.2*stop_en_ratio
-    — the length/punctuation/stopword heuristic family used by web-text
-    quality filters, as one deterministic scalar.
-    """
-    t = F.col(text_col)
-    n_tok = token_count(t)
-    n_chars = F.length(t)
-    n_punct = punct_count(t)
-    n_stop = stopword_count(t, STOP_EN)
+def quality_10k_col(text: Column) -> Column:
+    """floor(10000 * quality) where quality = 0.5*min(1, n_tokens/100)
+    + 0.3*(1 - punct_ratio) + 0.2*stop_en_ratio — the length/punctuation/
+    stopword heuristic family used by web-text quality filters, as one
+    deterministic scalar column (shared by text_stats and prepare_corpus)."""
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    n_punct = punct_count(text)
+    n_stop = stopword_count(text, STOP_EN)
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     quality = (
@@ -67,39 +64,62 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         + 0.3 * (1.0 - punct_ratio)
         + 0.2 * stop_ratio
     )
+    return F.floor(quality * 10000.0).cast("long")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id, n_tokens, punct_ratio_10k, stop_ratio_10k, quality_10k
+    (see quality_10k_col for the formula)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = punct_count(t)
+    n_stop = stopword_count(t, STOP_EN)
     return docs.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         _ratio10k(n_punct, n_chars).alias("punct_ratio_10k"),
         _ratio10k(n_stop, n_tok).alias("stop_ratio_10k"),
-        F.floor(quality * 10000.0).cast("long").alias("quality_10k"),
+        quality_10k_col(t).alias("quality_10k"),
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """doc_id, lang_pred — stopword-voting heuristic with fixed priority
+def lang_pred_col(text: Column) -> Column:
+    """Stopword-voting language heuristic with fixed priority
     en > fr > es > de, 'und' (undetermined) when no list scores > 0."""
-    t = F.lower(F.col(text_col))
+    t = F.lower(text)
     n_en = stopword_count(t, STOP_EN)
     n_fr = stopword_count(t, STOP_FR)
     n_es = stopword_count(t, STOP_ES)
     n_de = stopword_count(t, STOP_DE)
     best = F.greatest(n_en, n_fr, n_es, n_de)
-    pred = (
+    return (
         F.when(best == 0, F.lit("und"))
         .when(n_en == best, F.lit("en"))
         .when(n_fr == best, F.lit("fr"))
         .when(n_es == best, F.lit("es"))
         .otherwise(F.lit("de"))
     )
-    return docs.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """doc_id, lang_pred (see lang_pred_col)."""
+    return docs.select(
+        F.col(id_col), lang_pred_col(F.col(text_col)).alias("lang_pred")
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """md5 of whitespace-normalized lowercased text — the cheap content
+    fingerprint used for exact-dedup keys."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """doc_id, fp — md5 of whitespace-normalized lowercased text (the cheap
-    content fingerprint used for exact-dedup keys)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
+    """doc_id, fp (see fingerprint_col)."""
+    return docs.select(
+        F.col(id_col), fingerprint_col(F.col(text_col)).alias("fp")
+    )
 
 
 # GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead, so the
