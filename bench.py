@@ -369,6 +369,36 @@ def main():
                 print(f"# 10x {name}: {n} rows in {dt}s "
                       f"(x{tenx[name]['ratio_vs_linear']} of linear)",
                       file=sys.stderr)
+            # dedup_embedding's headline query pins the EXACT broadcast-BLAS
+            # path (oracle needs exact pairs), which is O(n^2) below the LSH
+            # auto-cutover — so also time the LSH scale path itself, 1x vs
+            # 10x, to show the plan that would run at corpus scale is
+            # sub-linear-per-row. Output differs from exact at this
+            # threshold by design (recall < 1 at 0.45); this row measures
+            # plan cost, not the oracle contract.
+            # ~2 min of measurement — only when the budget comfortably allows
+            try:
+                if time.time() - total0 > budget_s - 180:
+                    raise TimeoutError("budget: skipping LSH 10x row")
+                from itext2kg_spark.dedup.embedding import embedding_near_dups
+
+                def _lsh_time(d):
+                    v = spark.read.parquet(f"{d}/embeddings.parquet")
+                    t0 = time.time()
+                    n = embedding_near_dups(v, threshold=0.45, method="lsh").count()
+                    return round(time.time() - t0, 3), n
+                t1x, _ = _lsh_time(SF_DIR)
+                t10x, n10 = _lsh_time(big_dir)
+                tenx["dedup_embedding_lsh"] = {
+                    "sec": t10x, "rows": n10, "sec_1x": t1x,
+                    "ratio_vs_linear": round(t10x / (10 * t1x), 3) if t1x else None,
+                }
+                print(f"# 10x dedup_embedding_lsh (scale path): {n10} rows "
+                      f"in {t10x}s vs {t1x}s at 1x "
+                      f"(x{tenx['dedup_embedding_lsh']['ratio_vs_linear']} of linear)",
+                      file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"# 10x lsh row failed: {e!r}", file=sys.stderr)
             detail["queries_10x"] = tenx
         except Exception as e:  # noqa: BLE001
             print(f"# 10x query table failed: {e!r}", file=sys.stderr)
