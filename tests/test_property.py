@@ -108,3 +108,50 @@ def test_incremental_merge_differential(spark, ref):
         f"P={precision:.3f} R={recall:.3f}\n"
         f"ref={ref_triples(merged)}\nours={spark_triples(ed2)}"
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)),
+        min_size=0, max_size=60,
+    ),
+)
+def test_near_dup_clusters_matches_union_find(spark, n_docs, raw_edges):
+    """near_dup_clusters(pairs=...) computes exactly the connected-component
+    partition an independent union-find computes, for arbitrary random pair
+    graphs (self-loops and out-of-range ids filtered like the engine's
+    threshold filter would)."""
+    from itext2kg_spark.dedup.clusters import near_dup_clusters
+
+    edges = [(a, b) for a, b in raw_edges if a != b and a < n_docs and b < n_docs]
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n_docs)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs = pairs.where(F.col("id_a") != F.col("id_a"))  # empty
+
+    got = {
+        r["doc_id"]: r["rep_id"]
+        for r in near_dup_clusters(docs, pairs=pairs).collect()
+    }
+
+    # independent reference: plain union-find with min-id representatives
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n_docs)}
+    assert got == want
