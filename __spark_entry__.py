@@ -272,6 +272,40 @@ def _q_corpus_prepare(spark, sf_dir):
     return out.select("doc_id", "lang_pred", "n_tokens", "quality_10k", "fp")
 
 
+def _q_corpus_incremental_exact(spark, sf_dir):
+    """Cross-batch incremental corpus dedup, oracle-checked: the documents
+    table splits into two range-ordered batches that flow through the REAL
+    CorpusStore path (run_batch -> append-only survivor delta -> _COMMITTED
+    -> next batch dedups against the loaded union), in exact mode
+    (near_dup_threshold=None). The union of the deltas must equal the
+    ONE-SHOT exact pass — fingerprint equality is transitive and
+    stored-wins == global min-id under range-ordered batches, so a lost or
+    duplicated survivor, a broken delta load, or a filter drift between the
+    batch and one-shot paths would hash-mismatch. Same filters as
+    corpus_prepare (en / 20 tokens / 4500 quality)."""
+    import shutil
+    import tempfile
+
+    from itext2kg_spark.corpus import CorpusStore
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="corpus_incremental_exact_")
+    try:
+        store = CorpusStore(root)
+        kwargs = dict(langs=("en",), min_tokens=20, min_quality_10k=4500,
+                      near_dup_threshold=None)
+        store.run_batch(docs.where(F.col("doc_id") <= mid), **kwargs)
+        store.run_batch(docs.where(F.col("doc_id") > mid), **kwargs)
+        out = store.load_survivors(spark).select(
+            "doc_id", "lang_pred", "n_tokens", "quality_10k", "fp"
+        )
+        out = out.localCheckpoint()  # detach from the tmp store before cleanup
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_ann_topk(spark, sf_dir):
     from itext2kg_spark.similarity.ann import ann_topk_bruteforce
 
@@ -1342,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_prepare": _q_corpus_prepare,
+        "corpus_incremental_exact": _q_corpus_incremental_exact,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2135,6 +2170,7 @@ FROM documents GROUP BY 1
         "dedup_minhash": _JACCARD_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "corpus_prepare": _CORPUS_SQL,
+        "corpus_incremental_exact": _CORPUS_EXACT_SQL,
         "dedup_embedding": """
 WITH e AS (
   SELECT vec_id,
@@ -2289,13 +2325,10 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
-# Fused corpus-preparation oracle: enrichment (lang vote / token count /
-# quality scalar / md5 fingerprint), lang+quality filters, min-id-per-
-# fingerprint exact dedup, then the near-dup keep-one closure computed over
-# the KEPT set only (gram document frequencies count over the filtered
-# corpus — the engine's near_dup_clusters(kept) sees exactly that corpus).
-_CORPUS_SQL = r"""
-WITH RECURSIVE b AS (
+# Shared CTE chain for the corpus-preparation oracles: enrichment (lang
+# vote / token count / quality scalar / md5 fingerprint), lang+quality
+# filters, min-id-per-fingerprint exact dedup -> `kept`.
+_CORPUS_KEPT_CTE = r"""b AS (
   SELECT doc_id, text,
          regexp_split_to_array(trim(lower(text)), '\s+') AS lt,
          CASE WHEN trim(text) = '' THEN 0
@@ -2333,7 +2366,14 @@ filt AS (
 keeper AS (SELECT fp, min(doc_id) AS doc_id FROM filt GROUP BY fp),
 kept AS (
   SELECT f.* FROM filt f JOIN keeper k ON f.fp = k.fp AND f.doc_id = k.doc_id
-),
+)"""
+
+# Fused one-shot corpus-preparation oracle: the shared chain + the near-dup
+# keep-one closure computed over the KEPT set only (gram document
+# frequencies count over the filtered corpus — the engine's
+# near_dup_clusters(kept) sees exactly that corpus).
+_CORPUS_SQL = (
+    "WITH RECURSIVE " + _CORPUS_KEPT_CTE + r""",
 t2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM kept),
 g0 AS (
   SELECT DISTINCT doc_id AS id, array_to_string(toks[i+1:i+3], ' ') AS gram
@@ -2368,3 +2408,12 @@ SELECT k.doc_id, k.lang_pred, k.n_tokens, k.quality_10k, k.fp
 FROM kept k LEFT JOIN comp c2 ON k.doc_id = c2.id
 WHERE least(k.doc_id, coalesce(c2.mn, k.doc_id)) = k.doc_id
 """
+)
+
+# Exact-mode incremental oracle: range-ordered batches + transitive
+# fingerprint equality make the two-batch CorpusStore path equal the
+# one-shot exact pass — i.e. the shared chain's `kept` table itself.
+_CORPUS_EXACT_SQL = (
+    "WITH " + _CORPUS_KEPT_CTE
+    + "\nSELECT doc_id, lang_pred, n_tokens, quality_10k, fp FROM kept"
+)

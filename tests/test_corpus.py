@@ -59,3 +59,102 @@ def test_prepare_corpus_single_scan_enrichment(spark):
         _docs(spark), near_dup_threshold=None
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_incremental_survivors_stored_wins(spark, tmp_path):
+    """Cross-batch dedup through CorpusStore: stored survivors always win
+    (exact fp and near-dup), within-batch keep-one still applies, replay of
+    a committed batch id is a no-op, and a partial snapshot without
+    _COMMITTED is invisible."""
+    import os
+
+    from itext2kg_spark.corpus import CorpusStore
+
+    store = CorpusStore(str(tmp_path / "corpus"))
+    kwargs = dict(langs=("en",), min_tokens=10, min_quality_10k=0,
+                  near_dup_threshold=0.7)
+
+    base = EN.split()
+    near = list(base); near[5] = "hound"
+    other = ("a fine day for the old dog and the young cat to nap in the "
+             "big warm house by the sea with the wind and the rain outside")
+    o_near = other.split(); o_near[4] = "ancient"
+
+    b1 = spark.createDataFrame(
+        [(0, EN), (1, " ".join(near))], "doc_id long, text string"
+    )
+    d1 = store.run_batch(b1, **kwargs)
+    assert [r["doc_id"] for r in d1.collect()] == [0]  # keep-one within batch
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "   " + EN),            # exact dup of stored 0 (normalized fp)
+            (11, " ".join(near)),        # near-dup of stored 0
+            (12, other),                 # genuinely new
+            (13, " ".join(o_near)),      # near-dup of 12 (same batch)
+        ],
+        "doc_id long, text string",
+    )
+    d2 = store.run_batch(b2, **kwargs)
+    assert sorted(r["doc_id"] for r in d2.collect()) == [12]
+
+    # replay: same batch id returns the stored delta without recompute
+    replay = store.run_batch(b2, batch_id=1, **kwargs)
+    assert sorted(r["doc_id"] for r in replay.collect()) == [12]
+    assert store.committed_batches() == [0, 1]
+
+    # survivor corpus is the union of deltas
+    surv = store.load_survivors(spark)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [0, 12]
+
+    # a partial snapshot without _COMMITTED is invisible
+    partial = store._snap_dir(7)
+    os.makedirs(partial)
+    assert store.committed_batches() == [0, 1]
+
+
+def test_incremental_bridge_through_dropped_doc(spark):
+    """Documented streaming approximation: batch-2 doc near the DROPPED
+    batch-1 doc (but not the kept one) is retained, because the dropped
+    doc's cluster edges left with it."""
+    from itext2kg_spark.corpus import incremental_survivors
+
+    base = [f"w{i}" for i in range(50)]
+    b = list(base); b[10] = "xx"      # near base (kept drops it)
+    c = list(b); c[30] = "yy"        # near b only, NOT near base
+
+    batch1 = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(b))], "doc_id long, text string"
+    )
+    s1 = incremental_survivors(batch1, None, langs=("en", "und"),
+                               near_dup_threshold=0.8)
+    assert [r["doc_id"] for r in s1.collect()] == [0]
+
+    batch2 = spark.createDataFrame(
+        [(10, " ".join(c))], "doc_id long, text string"
+    )
+    s2 = incremental_survivors(batch2, s1, langs=("en", "und"),
+                               near_dup_threshold=0.8)
+    # one-shot over {base, b, c} would keep only doc 0; incrementally the
+    # bridge doc b is gone, so c (id 10) survives — the documented delta
+    assert [r["doc_id"] for r in s2.collect()] == [10]
+
+
+def test_incremental_exact_equals_one_shot(spark):
+    """Exact mode (near_dup_threshold=None) over range-ordered batches is
+    EXACTLY the one-shot pass — the contract the corpus_incremental_exact
+    driver oracle pins at scale."""
+    from itext2kg_spark.corpus import incremental_survivors, prepare_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kwargs = dict(langs=("en",), min_tokens=20, min_quality_10k=4500,
+                  near_dup_threshold=None)
+    lo = docs.where(F.col("doc_id") < 250)
+    hi = docs.where(F.col("doc_id") >= 250)
+    s1 = incremental_survivors(lo, None, **kwargs)
+    s2 = incremental_survivors(hi, s1, **kwargs)
+    inc = {r["doc_id"] for r in s1.select("doc_id").collect()} | {
+        r["doc_id"] for r in s2.select("doc_id").collect()
+    }
+    one = {r["doc_id"] for r in prepare_corpus(docs, **kwargs).collect()}
+    assert inc == one
