@@ -68,7 +68,22 @@ def get_spark(
         # bounds per-task memory.
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "1m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Heap scales with task slots: a fixed 8g at local[32] is 0.25 GB
+        # per concurrent task — far below any real executor provisioning
+        # (2-4 GB/core) — and the unified pool starves: measured
+        # AGGREGATE_OUT_OF_MEMORY in kg_build_graph's distinct-entity hash
+        # agg at 500k docs, where localCheckpoint storage blocks held the
+        # protected storage fraction while 32 hash-agg tasks contended for
+        # the rest. 0.5 GB/core (min 8g) fixed it outright at 100x sf0.1.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", f"{max(8, cores // 2)}g"),
+        )
+        # ... and checkpoint/cache blocks must YIELD to execution rather
+        # than deadlock it: the default storageFraction protects 50% of the
+        # pool for storage; the engine's localCheckpoints are re-computable
+        # lineage truncations, so eviction is always safe here.
+        .config("spark.memory.storageFraction", "0.3")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
