@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (42 queries, 40 with DuckDB
+§2 plus the training-data-pipeline additions (47 queries, 45 with DuckDB
 oracles). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
 argmax/avg-max/residual-pair cosine exactly SQL-replicable; exact-mode
@@ -660,6 +660,18 @@ def _q_text_tokens(spark, sf_dir):
     from itext2kg_spark.functions.text import token_counts
 
     return token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_repetition(spark, sf_dir):
+    from itext2kg_spark.functions.repetition import ngram_repetition
+
+    return ngram_repetition(_docs(spark, sf_dir))
+
+
+def _q_text_unigram_lm(spark, sf_dir):
+    from itext2kg_spark.functions.lm import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(spark, sf_dir))
 
 
 def _q_kg_build_graph(spark, sf_dir):  # rows-only: full similarity-merge path
@@ -1391,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_tokens": _q_text_tokens,
+        "text_repetition": _q_text_repetition,
+        "text_unigram_lm": _q_text_unigram_lm,
     }.items()}
 
 
@@ -2252,6 +2266,66 @@ SELECT doc_id,
        CAST(n_bpe AS BIGINT) AS n_bpe_pieces,
        CAST(CASE WHEN n_bpe > 0 THEN floor(len(text) * 10000.0 / n_bpe) ELSE 0 END AS BIGINT) AS chars_per_piece_10k
 FROM b
+""",
+        # Gopher-style within-doc n-gram repetition stats
+        # (functions/repetition.py — deltas from the paper documented there)
+        "text_repetition": r"""
+WITH toks AS (
+  SELECT doc_id, len(text) AS n_chars,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_chars, n, tk,
+         unnest(range(1, len(tk) - n + 2)) AS i
+  FROM toks CROSS JOIN (VALUES (2),(3),(4),(5),(10)) AS ns(n)
+),
+g AS (
+  SELECT doc_id, n_chars, n,
+         array_to_string(tk[i : i + n - 1], ' ') AS gram
+  FROM pos
+),
+pg AS (
+  SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+  FROM g GROUP BY ALL
+),
+pd AS (
+  SELECT doc_id, n_chars,
+    max(CASE WHEN n=2 AND cnt>=2 THEN cnt*len(gram) END) AS top2,
+    max(CASE WHEN n=3 AND cnt>=2 THEN cnt*len(gram) END) AS top3,
+    max(CASE WHEN n=4 AND cnt>=2 THEN cnt*len(gram) END) AS top4,
+    sum(CASE WHEN n=5 AND cnt>=2 THEN cnt*len(gram) ELSE 0 END) AS dup5,
+    sum(CASE WHEN n=10 AND cnt>=2 THEN cnt*len(gram) ELSE 0 END) AS dup10
+  FROM pg GROUP BY doc_id, n_chars
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN p.n_chars>0 THEN floor(least(1.0, coalesce(p.top2,0)/p.n_chars)*10000.0) ELSE 0 END AS BIGINT) AS top2_frac_10k,
+  CAST(CASE WHEN p.n_chars>0 THEN floor(least(1.0, coalesce(p.top3,0)/p.n_chars)*10000.0) ELSE 0 END AS BIGINT) AS top3_frac_10k,
+  CAST(CASE WHEN p.n_chars>0 THEN floor(least(1.0, coalesce(p.top4,0)/p.n_chars)*10000.0) ELSE 0 END AS BIGINT) AS top4_frac_10k,
+  CAST(CASE WHEN p.n_chars>0 THEN floor(least(1.0, coalesce(p.dup5,0)/p.n_chars)*10000.0) ELSE 0 END AS BIGINT) AS dup5_frac_10k,
+  CAST(CASE WHEN p.n_chars>0 THEN floor(least(1.0, coalesce(p.dup10,0)/p.n_chars)*10000.0) ELSE 0 END AS BIGINT) AS dup10_frac_10k
+FROM documents d LEFT JOIN pd p USING (doc_id)
+""",
+        # CCNet-style corpus unigram-LM scoring (functions/lm.py —
+        # integer-exact arithmetic-mean formulation, see module docstring)
+        "text_unigram_lm": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+doc_tf AS (SELECT doc_id, tok, count(*) AS c FROM t2 GROUP BY ALL),
+vocab AS (SELECT tok, sum(c) AS tf FROM doc_tf GROUP BY tok),
+pd AS (
+  SELECT doc_id, sum(c) AS n_tokens, sum(c*tf) AS sum_tf, min(tf) AS min_tf
+  FROM doc_tf JOIN vocab USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_tokens,0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(p.sum_tf,0) AS BIGINT) AS sum_tf,
+  CAST(CASE WHEN p.n_tokens > 0 THEN floor(p.sum_tf*10000.0/p.n_tokens) ELSE 0 END AS BIGINT) AS avg_tf_10k,
+  CAST(coalesce(p.min_tf,0) AS BIGINT) AS min_tf
+FROM documents d LEFT JOIN pd p USING (doc_id)
 """,
         # E2 capitalized-span extraction after the deterministic
         # capitalize-long-tokens pre-step (see _q_text_entities)

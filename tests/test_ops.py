@@ -524,3 +524,69 @@ def test_near_dup_clusters_pairs_injection(spark):
         for r in near_dup_clusters(docs, pairs=pairs).collect()
     }
     assert mapping == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
+
+
+def test_ngram_repetition_handcomputed(spark):
+    """Gopher-style repetition stats against hand-computed values.
+
+    'a b a b a b' (11 chars): 2-grams 'a b'x3/'b a'x2 -> top2 = 3*3=9
+    -> floor(9/11*1e4)=8181; 3-grams both x2, len 5 -> 10/11 -> 9090;
+    4-grams 'a b a b'x2 len 7 -> 14/11 capped at 1.0 -> 10000; no
+    duplicated 5- or 10-grams. A no-repeat doc and an empty doc report
+    all zeros (the left join keeps their rows)."""
+    from itext2kg_spark.functions.repetition import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "all tokens here are distinct"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in ngram_repetition(docs).collect()}
+    assert len(rows) == 3
+    assert rows[0] == {
+        "doc_id": 0, "top2_frac_10k": 8181, "top3_frac_10k": 9090,
+        "top4_frac_10k": 10000, "dup5_frac_10k": 0, "dup10_frac_10k": 0,
+    }
+    for d in (1, 2):
+        assert all(v == 0 for k, v in rows[d].items() if k != "doc_id")
+
+
+def test_ngram_repetition_dup_band(spark):
+    """A doc that is one 5-gram repeated twice: 'v w x y z v w x y z'
+    (19 chars) -> the 5-gram 'v w x y z' occurs x2 (len 9 -> 18 chars)
+    -> dup5 = floor(18/19*1e4) = 9473; top2/3/4 all nonzero too."""
+    from itext2kg_spark.functions.repetition import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(0, "v w x y z v w x y z")], "doc_id long, text string"
+    )
+    r = ngram_repetition(docs).collect()[0]
+    assert r["dup5_frac_10k"] == 9473
+    assert r["dup10_frac_10k"] == 0  # the single 10-gram occurs once
+    assert r["top2_frac_10k"] > 0
+
+
+def test_unigram_lm_handcomputed(spark):
+    """Corpus tf: x=3, y=1, z=1. d0='x x y': n=3, sum_tf=2*3+1=7,
+    avg=floor(70000/3)=23333, min=1. d1='x z': 20000/1. d2='' -> zeros."""
+    from itext2kg_spark.functions.lm import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z"), (2, "")], "doc_id long, text string"
+    )
+    for bcast in (False, True):
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in unigram_lm_scores(docs, broadcast_vocab=bcast).collect()
+        }
+        assert rows[0] == {
+            "doc_id": 0, "n_tokens": 3, "sum_tf": 7,
+            "avg_tf_10k": 23333, "min_tf": 1,
+        }
+        assert rows[1] == {
+            "doc_id": 1, "n_tokens": 2, "sum_tf": 4,
+            "avg_tf_10k": 20000, "min_tf": 1,
+        }
+        assert rows[2] == {
+            "doc_id": 2, "n_tokens": 0, "sum_tf": 0,
+            "avg_tf_10k": 0, "min_tf": 0,
+        }
