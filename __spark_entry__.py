@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (47 queries, 45 with DuckDB
+§2 plus the training-data-pipeline additions (50 queries, 48 with DuckDB
 oracles). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
 argmax/avg-max/residual-pair cosine exactly SQL-replicable; exact-mode
@@ -660,6 +660,36 @@ def _q_text_tokens(spark, sf_dir):
     from itext2kg_spark.functions.text import token_counts
 
     return token_counts(_docs(spark, sf_dir))
+
+
+def _q_corpus_decontam(spark, sf_dir):
+    # every 100th document plays the "benchmark" split; n=3 because the
+    # synthetic 30-word vocabulary makes 3-gram collisions realistic at
+    # toy scale (production default is the GPT-3-style n=13)
+    from itext2kg_spark.dedup.decontam import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return ngram_decontaminate(
+        docs.where(F.col("doc_id") % 100 != 0),
+        docs.where(F.col("doc_id") % 100 == 0),
+        n=3,
+    )
+
+
+def _q_corpus_sample(spark, sf_dir):
+    from itext2kg_spark.functions.sampling import hash_stratified_sample
+
+    return hash_stratified_sample(
+        _docs(spark, sf_dir),
+        quotas_10k={"en": 6000, "fr": 3000},
+        default_10k=1000,
+    ).select("doc_id", "lang", "bucket")
+
+
+def _q_corpus_pack(spark, sf_dir):
+    from itext2kg_spark.functions.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
 
 
 def _q_text_repetition(spark, sf_dir):
@@ -1405,6 +1435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "text_repetition": _q_text_repetition,
         "text_unigram_lm": _q_text_unigram_lm,
+        "corpus_decontam": _q_corpus_decontam,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_pack": _q_corpus_pack,
     }.items()}
 
 
@@ -2305,6 +2338,73 @@ SELECT d.doc_id,
   CAST(CASE WHEN p.n_chars>0 THEN floor(least(1.0, coalesce(p.dup5,0)/p.n_chars)*10000.0) ELSE 0 END AS BIGINT) AS dup5_frac_10k,
   CAST(CASE WHEN p.n_chars>0 THEN floor(least(1.0, coalesce(p.dup10,0)/p.n_chars)*10000.0) ELSE 0 END AS BIGINT) AS dup10_frac_10k
 FROM documents d LEFT JOIN pd p USING (doc_id)
+""",
+        # GPT-3-style benchmark decontamination (dedup/decontam.py; the
+        # query uses n=3 on the toy vocabulary, doc_id%100==0 as the
+        # benchmark split)
+        "corpus_decontam": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - 3 + 2)) AS i FROM toks
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i : i + 2], ' ') AS gram
+  FROM pos
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS c
+  FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % 100 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 100 <> 0
+""",
+        # deterministic salted-md5 stratified sampling
+        # (functions/sampling.py — 60 digest bits, bit-identical here via
+        # the hex-literal cast)
+        "corpus_sample": r"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket,
+         CASE WHEN lang = 'en' THEN 6000
+              WHEN lang = 'fr' THEN 3000
+              ELSE 1000 END AS quota
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM b WHERE bucket < quota
+""",
+        # GPT-style concat-and-chunk sequence packing
+        # (functions/sampling.py pack_sequences, budget 512; the engine
+        # computes the running total with the two-phase bucketed windows,
+        # the oracle with the plain global window — same values)
+        "corpus_pack": r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_first,
+       CAST(CASE WHEN n_tokens > 0 THEN floor((cum - 1) / 512.0)
+                 ELSE floor((cum - n_tokens) / 512.0) - 1 END AS BIGINT) AS bin_last
+FROM c
 """,
         # CCNet-style corpus unigram-LM scoring (functions/lm.py —
         # integer-exact arithmetic-mean formulation, see module docstring)

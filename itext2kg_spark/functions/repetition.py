@@ -56,6 +56,25 @@ def _shifted_zip(tokens, max_n: int):
     return F.arrays_zip(*shifted)
 
 
+def ngram_rows(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, gram) — one row per token n-gram occurrence, lowercased
+    whitespace tokens, space-joined. Codegen path (`_shifted_zip`), shared
+    by the repetition stats and the decontamination join."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    windows = docs.select(
+        F.col(id_col), F.explode(_shifted_zip(toks, n)).alias("w")
+    )
+    return windows.where(F.col(f"w.a{n - 1}").isNotNull()).select(
+        id_col,
+        F.concat_ws(" ", *[F.col(f"w.a{k}") for k in range(n)]).alias("gram"),
+    )
+
+
 def ngram_repetition(
     docs: DataFrame,
     text_col: str = "text",

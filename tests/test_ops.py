@@ -590,3 +590,124 @@ def test_unigram_lm_handcomputed(spark):
             "doc_id": 2, "n_tokens": 0, "sum_tf": 0,
             "avg_tf_10k": 0, "min_tf": 0,
         }
+
+
+def test_ngram_decontaminate(spark):
+    """Doc 10 shares the 3-gram 'q r s' with the eval set, doc 11 shares
+    nothing, doc 12 is entirely an eval passage (all grams hit). Distinct
+    semantics: doc 13 repeats a hit gram twice but counts it once."""
+    from itext2kg_spark.dedup.decontam import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "a b q r s c d"),
+            (11, "u v w x y z"),
+            (12, "m n o p"),
+            (13, "q r s t q r s t q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "q r s"), (1, "m n o p")], "doc_id long, text string"
+    )
+    for bcast in (True, False):
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in ngram_decontaminate(
+                corpus, ev, n=3, broadcast_eval=bcast
+            ).collect()
+        }
+        assert rows[10] == {"doc_id": 10, "n_hit_grams": 1, "contaminated": True}
+        assert rows[11] == {"doc_id": 11, "n_hit_grams": 0, "contaminated": False}
+        # doc 12's grams: 'm n o', 'n o p' — both in the eval passage
+        assert rows[12] == {"doc_id": 12, "n_hit_grams": 2, "contaminated": True}
+        # doc 13 contains 'q r s' (3x) and 'r s t'/'s t q'/'t q r' etc.;
+        # only 'q r s' is in the eval set and it counts once
+        assert rows[13]["n_hit_grams"] == 1
+
+
+def test_hash_stratified_sample_contract(spark):
+    """The md5 bucket is pinned to hashlib (60 digest bits of 'salt:id'),
+    the kept set is deterministic across runs, and sampling a SUPERSET
+    corpus keeps exactly the same original documents."""
+    import hashlib
+
+    from itext2kg_spark.functions.sampling import hash_stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 == 0 else "fr") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+
+    def expect_bucket(i, salt="mix-v1"):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16) % 10000
+
+    out = hash_stratified_sample(docs, {"en": 5000}, default_10k=2000)
+    rows = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    for i, b in rows.items():
+        assert b == expect_bucket(i)
+        assert b < (5000 if i % 2 == 0 else 2000)
+    # determinism + superset stability
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == set(rows)
+    bigger = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 == 0 else "fr") for i in range(400)],
+        "doc_id long, text string, lang string",
+    )
+    sup = {
+        r["doc_id"]
+        for r in hash_stratified_sample(bigger, {"en": 5000}, default_10k=2000)
+        .collect()
+    }
+    assert {i for i in sup if i < 200} == set(rows)
+
+
+def test_global_running_total_matches_naive(spark):
+    """Two-phase bucketed cumsum == single-window cumsum, with a bucket
+    width small enough to force many buckets and sparse/shuffled ids."""
+    from pyspark.sql import Window
+
+    from itext2kg_spark.functions.sampling import global_running_total
+
+    rows = [(i * 7 % 997, (i * 13) % 50 + 1) for i in range(500)]
+    ids = {r[0] for r in rows}
+    rows = [r for r in rows if r[0] in ids]  # ids unique by construction? ensure:
+    seen, uniq = set(), []
+    for k, v in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((k, v))
+    df = spark.createDataFrame(uniq, "k long, v long").repartition(8)
+    got = {
+        r["k"]: r["running_total"]
+        for r in global_running_total(
+            df, "k", "v", bucket_width=64
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["rt"]
+        for r in df.select("k", F.sum("v").over(w).alias("rt")).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_handcomputed(spark):
+    """budget=5; docs of 3/4/0/6 tokens at ids 0..3: offsets 0,3,7,7;
+    doc1 straddles chunks 0-1, the empty doc spans no chunk
+    (bin_last = bin_first - 1), doc3 covers chunks 1-2."""
+    from itext2kg_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, ""), (3, "h i j k l m")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pack_sequences(docs, budget=5).collect()}
+    assert rows[0] == {"doc_id": 0, "n_tokens": 3, "tok_offset": 0,
+                       "bin_first": 0, "bin_last": 0}
+    assert rows[1] == {"doc_id": 1, "n_tokens": 4, "tok_offset": 3,
+                       "bin_first": 0, "bin_last": 1}
+    assert rows[2] == {"doc_id": 2, "n_tokens": 0, "tok_offset": 7,
+                       "bin_first": 1, "bin_last": 0}
+    assert rows[3] == {"doc_id": 3, "n_tokens": 6, "tok_offset": 7,
+                       "bin_first": 1, "bin_last": 2}
