@@ -131,3 +131,50 @@ def test_grouped_eval_plan_shape(spark):
     # collect_list partial aggregation: ObjectHashAggregate appears in
     # partial + final pairs per side
     assert plan.count("ObjectHashAggregate") >= 4
+
+
+def test_decontam_plan_broadcasts_eval(spark):
+    """The eval gram set reaches the corpus join as a broadcast hash join
+    (never a shuffle of the corpus side onto gram, never cartesian)."""
+    from itext2kg_spark.dedup.decontam import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, "w1 w2 w3")], "doc_id long, text string")
+    plan = _plan(ngram_decontaminate(docs, ev, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_running_total_plan_no_global_window(spark):
+    """global_running_total's big window is PARTITIONED (by the id-range
+    bucket); the only unpartitioned window runs over the per-bucket totals.
+    Guard: the corpus-side window spec must carry a partition key."""
+    from itext2kg_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(pack_sequences(docs, budget=8))
+    # two Window nodes: the per-bucket cumsum mentions the bucket key in
+    # its partition spec; the offsets join is broadcast
+    assert plan.count("Window") >= 2
+    assert "__bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_plan_stays_codegen(spark):
+    """The gram construction must not contain interpreted higher-order
+    lambdas (ArrayTransform/ArrayFilter) — the arrays_zip formulation is
+    what keeps per-gram cost ~20x below the lambda version."""
+    from itext2kg_spark.functions.repetition import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b")], "doc_id long, text string"
+    )
+    plan = _plan(ngram_repetition(docs))
+    assert "arrays_zip" in plan or "ArraysZip" in plan
+    assert "ArrayTransform" not in plan and "ArrayFilter" not in plan
