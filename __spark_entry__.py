@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (50 queries, 48 with DuckDB
+§2 plus the training-data-pipeline additions (52 queries, 50 with DuckDB
 oracles). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
 argmax/avg-max/residual-pair cosine exactly SQL-replicable; exact-mode
@@ -690,6 +690,40 @@ def _q_corpus_pack(spark, sf_dir):
     from itext2kg_spark.functions.sampling import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def _q_corpus_pii(spark, sf_dir):
+    # the synthetic corpus carries no PII, so the query INJECTS a
+    # deterministic email+IP into every 10th document before scrubbing —
+    # the oracle performs the identical injection, so match/redact (not
+    # just the all-zero path) is what gets hash-checked
+    from itext2kg_spark.functions.pii import pii_scrub
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scrub(docs)
+
+
+def _q_corpus_line_dedup(spark, sf_dir):
+    # single-line synthetic docs: ' ' as the line separator makes tokens
+    # play the role of lines; min_doc_df=300 strips the stopword-like
+    # vocabulary core while per-document rare tokens survive
+    from itext2kg_spark.dedup.lines import dedup_lines
+
+    return dedup_lines(_docs(spark, sf_dir), sep=" ", min_doc_df=300)
 
 
 def _q_text_repetition(spark, sf_dir):
@@ -1438,6 +1472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontam": _q_corpus_decontam,
         "corpus_sample": _q_corpus_sample,
         "corpus_pack": _q_corpus_pack,
+        "corpus_pii": _q_corpus_pii,
+        "corpus_line_dedup": _q_corpus_line_dedup,
     }.items()}
 
 
@@ -2405,6 +2441,55 @@ SELECT doc_id,
        CAST(CASE WHEN n_tokens > 0 THEN floor((cum - 1) / 512.0)
                  ELSE floor((cum - n_tokens) / 512.0) - 1 END AS BIGINT) AS bin_last
 FROM c
+""",
+        # PII scrub (functions/pii.py — identical RE2-compatible patterns
+        # both sides; injection mirrors _q_corpus_pii)
+        "corpus_pii": r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\s.-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM inj
+""",
+        # CCNet/RefinedWeb repeated-line removal (dedup/lines.py; tokens
+        # play lines via sep=' ' on the single-line synthetic docs)
+        "corpus_line_dedup": r"""
+WITH l0 AS (
+  SELECT doc_id, str_split_regex(text, ' ') AS tk FROM documents
+),
+l AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS line,
+         lower(trim(tk[i])) AS norm
+  FROM l0, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) u
+),
+common AS (
+  SELECT md5(norm) AS h
+  FROM (SELECT DISTINCT norm, doc_id FROM l WHERE norm <> '')
+  GROUP BY md5(norm) HAVING count(*) >= 300
+),
+f AS (
+  SELECT doc_id, pos, line,
+         (norm <> '' AND md5(norm) IN (SELECT h FROM common)) AS removed
+  FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS cleaned
+FROM f GROUP BY doc_id
 """,
         # CCNet-style corpus unigram-LM scoring (functions/lm.py —
         # integer-exact arithmetic-mean formulation, see module docstring)

@@ -711,3 +711,100 @@ def test_pack_sequences_handcomputed(spark):
                        "bin_first": 1, "bin_last": 0}
     assert rows[3] == {"doc_id": 3, "n_tokens": 6, "tok_offset": 7,
                        "bin_first": 1, "bin_last": 2}
+
+
+PII_ADVERSARIAL = [
+    "contact me at john.doe+spam@example.co.uk or 192.168.1.1 now",
+    "call +1 (555) 123-4567 today",
+    "no pii here at all",
+    "a@b.io x 999.999.999.999 and 12345678 and 1.2.3.4.5",
+    "double @@ not@valid a@b.c",
+    "phone 123-456-7890, ip 10.0.0.255.",
+    "edge +44 20 7946 0958 end",
+    "",
+]
+
+
+def test_pii_scrub_handcomputed(spark):
+    from itext2kg_spark.functions.pii import pii_scrub
+
+    docs = spark.createDataFrame(
+        list(enumerate(PII_ADVERSARIAL)), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_ips"], rows[0]["n_phones"]) == (1, 1, 1)
+    assert "<EMAIL>" in rows[0]["redacted"] and "<IP>" in rows[0]["redacted"]
+    assert "john.doe" not in rows[0]["redacted"]
+    assert rows[1]["n_phones"] == 1 and "<PHONE>" in rows[1]["redacted"]
+    assert rows[2] == {"doc_id": 2, "n_emails": 0, "n_ips": 0, "n_phones": 0,
+                       "redacted": "no pii here at all"}
+    # single-letter TLD rejected; over-matching IP accepted by design
+    assert rows[4]["n_emails"] == 0
+    assert rows[3]["n_ips"] == 2
+
+
+def test_pii_cross_engine_contract(spark):
+    """Java regex (Spark) and RE2 (DuckDB) must agree on every match
+    boundary for the three patterns — the property the corpus_pii oracle
+    rests on, pinned here over the adversarial set."""
+    import duckdb
+
+    from itext2kg_spark.functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE, pii_scrub
+
+    docs = spark.createDataFrame(
+        list(enumerate(PII_ADVERSARIAL)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(PII_ADVERSARIAL):
+        ne, ni, np_, red = con.execute(
+            """SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),
+                      len(regexp_extract_all(?, ?)),
+                      regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),
+                                     ?, '<IP>', 'g'), ?, '<PHONE>', 'g')""",
+            [t, EMAIL_RE, t, IPV4_RE, t, PHONE_RE,
+             t, EMAIL_RE, IPV4_RE, PHONE_RE],
+        ).fetchone()
+        assert (got[i]["n_emails"], got[i]["n_ips"], got[i]["n_phones"]) == (ne, ni, np_)
+        assert got[i]["redacted"] == red
+
+
+def test_dedup_lines_handcomputed(spark):
+    """The cookie-banner line appears in 3 docs -> removed everywhere
+    (case/whitespace-insensitively); unique lines and empty lines stay;
+    an untouched document reassembles byte-identically."""
+    from itext2kg_spark.dedup.lines import dedup_lines
+
+    banner = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner}\nunique zero\n\nlast zero"),
+            (1, f"first one\n  accept COOKIES to continue \nlast one"),
+            (2, f"{banner}"),
+            (3, "totally unique\ndocument three"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in dedup_lines(docs, min_doc_df=3).collect()}
+    assert rows[0] == {"doc_id": 0, "n_lines": 4, "n_removed": 1,
+                       "cleaned": "unique zero\n\nlast zero"}
+    assert rows[1] == {"doc_id": 1, "n_lines": 3, "n_removed": 1,
+                       "cleaned": "first one\nlast one"}
+    assert rows[2] == {"doc_id": 2, "n_lines": 1, "n_removed": 1, "cleaned": ""}
+    assert rows[3] == {"doc_id": 3, "n_lines": 2, "n_removed": 0,
+                       "cleaned": "totally unique\ndocument three"}
+
+
+def test_dedup_lines_threshold_and_identity(spark):
+    """Below min_doc_df nothing is removed and every document — including
+    ones with leading/trailing/double separators — reassembles exactly."""
+    from itext2kg_spark.dedup.lines import dedup_lines
+
+    texts = ["a\n\nb\n", "\nx y\nz", "plain"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in dedup_lines(docs, min_doc_df=5).collect()}
+    for i, t in enumerate(texts):
+        assert rows[i]["n_removed"] == 0
+        assert rows[i]["cleaned"] == t
