@@ -726,6 +726,31 @@ def _q_corpus_line_dedup(spark, sf_dir):
     return dedup_lines(_docs(spark, sf_dir), sep=" ", min_doc_df=300)
 
 
+_SPAN_BOILERPLATE = (
+    "subscribe to our newsletter for updates terms of service apply"
+)
+
+
+def _q_corpus_span_dedup(spark, sf_dir):
+    # cross-document duplicated-span removal (Lee et al. substring dedup,
+    # k-gram-chain formulation). Every 5th document gets a shared 10-token
+    # boilerplate footer appended in-query (the synthetic corpus mirror of
+    # web boilerplate) so the removal path — not just pass-through — is
+    # what the oracle hash-checks; the oracle injects identically.
+    from itext2kg_spark.dedup.spans import span_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return span_dedup(docs, k=8)
+
+
 def _q_text_repetition(spark, sf_dir):
     from itext2kg_spark.functions.repetition import ngram_repetition
 
@@ -1474,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _q_corpus_pack,
         "corpus_pii": _q_corpus_pii,
         "corpus_line_dedup": _q_corpus_line_dedup,
+        "corpus_span_dedup": _q_corpus_span_dedup,
     }.items()}
 
 
@@ -2490,6 +2516,58 @@ SELECT doc_id,
        CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '') AS cleaned
 FROM f GROUP BY doc_id
+""",
+        # Cross-document duplicated-span removal (dedup/spans.py, k=8;
+        # boilerplate injection mirrors _q_corpus_span_dedup; keeper =
+        # min doc_id per duplicated window, coverage mask over positions)
+        "corpus_span_dedup": r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' subscribe to our newsletter for updates terms of service apply'
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM inj WHERE trim(text) <> ''
+),
+pg AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+        FROM t WHERE len(toks) >= 8)
+),
+st AS (
+  SELECT gram, min(doc_id) AS keeper
+  FROM pg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+dp AS (
+  SELECT pg.doc_id, pg.pos FROM pg JOIN st USING (gram)
+  WHERE pg.doc_id <> st.keeper
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS i FROM t
+),
+keep AS (
+  SELECT k.doc_id, k.tok, k.i FROM tok k
+  WHERE NOT EXISTS (SELECT 1 FROM dp
+                    WHERE dp.doc_id = k.doc_id
+                      AND dp.pos <= k.i AND k.i < dp.pos + 8)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id
+),
+orig AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM inj
+)
+SELECT o.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(o.n_tokens AS BIGINT) AS n_tokens,
+       CAST(o.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM orig o LEFT JOIN agg a USING (doc_id)
 """,
         # CCNet-style corpus unigram-LM scoring (functions/lm.py —
         # integer-exact arithmetic-mean formulation, see module docstring)

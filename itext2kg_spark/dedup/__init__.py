@@ -4,8 +4,11 @@ from itext2kg_spark.dedup.minhash import minhash_lsh_pairs
 from itext2kg_spark.dedup.simhash import simhash_pairs
 from itext2kg_spark.dedup.embedding import embedding_near_dups
 from itext2kg_spark.dedup.clusters import near_dup_clusters, dedup_survivors
+from itext2kg_spark.dedup.spans import span_dedup, duplicated_span_starts
 
 __all__ = [
+    "span_dedup",
+    "duplicated_span_starts",
     "near_dup_clusters",
     "dedup_survivors",
     "exact_duplicates",
