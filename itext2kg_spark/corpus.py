@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from itext2kg_spark.dedup.clusters import near_dup_clusters
+from itext2kg_spark.sources.stream_hw import StreamEpochMixin
 from itext2kg_spark.functions.text import (
     fingerprint_col,
     lang_pred_col,
@@ -203,7 +204,7 @@ def incremental_survivors(
     )
 
 
-class CorpusStore:
+class CorpusStore(StreamEpochMixin):
     """Append-only survivor store for cross-batch corpus dedup — the corpus
     analog of sources/store.py's KGStore, same atomic-commit protocol:
 
@@ -244,10 +245,15 @@ class CorpusStore:
     def load_delta(self, spark, batch_id: int) -> DataFrame:
         return spark.read.parquet(os.path.join(self._snap_dir(batch_id), "docs"))
 
+    def snapshot_metrics(self, batch_id: int) -> dict:
+        with open(os.path.join(self._snap_dir(batch_id), "_COMMITTED")) as f:
+            return json.load(f)
+
     def run_batch(
         self,
         new_docs: DataFrame,
         batch_id: int | None = None,
+        metrics: dict | None = None,
         **kwargs,
     ) -> DataFrame:
         """Dedup `new_docs` against the stored corpus, append the survivor
@@ -268,5 +274,5 @@ class CorpusStore:
             shutil.rmtree(d)
         delta.write.mode("overwrite").parquet(os.path.join(d, "docs"))
         with open(os.path.join(d, "_COMMITTED"), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
+            json.dump({"batch_id": batch_id, "metrics": metrics or {}}, f)
         return self.load_delta(spark, batch_id)

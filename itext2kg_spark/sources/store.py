@@ -23,7 +23,6 @@ find_last_completed_batch + cleanup of incomplete later batches.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import re
@@ -31,8 +30,10 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from itext2kg_spark.sources.stream_hw import StreamEpochMixin
 
-class KGStore:
+
+class KGStore(StreamEpochMixin):
     def __init__(self, root: str):
         self.root = root
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
@@ -109,62 +110,3 @@ class KGStore:
     def snapshot_metrics(self, batch_id: int) -> dict:
         with open(os.path.join(self._snap_dir(batch_id), "_COMMITTED")) as f:
             return json.load(f)
-
-    # ---- streaming high-water mark ------------------------------------------
-    def _stream_hw_path(self, stream_key: str) -> str:
-        h = hashlib.sha256(stream_key.encode("utf-8")).hexdigest()[:24]
-        return os.path.join(self.root, "streams", f"{h}.json")
-
-    def _write_stream_hw(self, stream_key: str, epoch: int, batch_id: int):
-        """Atomic (tmp + rename) per-stream high-water cache. Source of
-        truth stays the _COMMITTED metadata; this file only bounds how far
-        back last_stream_epoch must scan."""
-        path = self._stream_hw_path(stream_key)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            with open(path) as f:
-                prev = json.load(f)
-        except (FileNotFoundError, ValueError):
-            prev = None
-        if prev is not None and int(prev.get("stream_epoch", -1)) >= epoch:
-            return
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "stream_key": stream_key,
-                    "stream_epoch": int(epoch),
-                    "batch_id": int(batch_id),
-                },
-                f,
-            )
-        os.replace(tmp, path)
-
-    def last_stream_epoch(self, stream_key: str) -> int | None:
-        """Highest stream epoch committed for `stream_key` (a checkpoint-dir
-        identity). The authoritative record is each snapshot's _COMMITTED
-        metadata (written atomically with the snapshot — a crash can only
-        ever REPLAY a batch, never skip one). A per-stream high-water file,
-        updated right after the marker, makes this O(1): only snapshots
-        NEWER than the cached batch_id are scanned (normally zero; exactly
-        the crash-window ones after a marker-then-crash). Kept separate from
-        the snapshot batch id: epoch ids restart at 0 with a fresh
-        checkpoint dir, while batch ids are store-monotonic."""
-        best: int | None = None
-        start_batch = 0
-        try:
-            with open(self._stream_hw_path(stream_key)) as f:
-                hw = json.load(f)
-            if hw.get("stream_key") == stream_key:
-                best = int(hw["stream_epoch"])
-                start_batch = int(hw["batch_id"]) + 1
-        except (FileNotFoundError, ValueError, KeyError):
-            pass  # no cache (old store / crashed mid-write): full scan
-        for b in self.committed_batches():
-            if b < start_batch:
-                continue
-            meta = self.snapshot_metrics(b).get("metrics", {})
-            if meta.get("stream_key") == stream_key:
-                e = int(meta.get("stream_epoch", -1))
-                best = e if best is None else max(best, e)
-        return best
