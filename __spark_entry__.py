@@ -306,6 +306,47 @@ def _q_corpus_incremental_exact(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_corpus_stream_exact(spark, sf_dir):
+    """The STREAMING corpus path, oracle-checked: the same two range-ordered
+    batches as corpus_incremental_exact flow through the foreachBatch entry
+    (streaming/corpus_stream.py:run_corpus_stream_batch) as micro-batch
+    epochs 0 and 1, with epoch 0 REPLAYED in between — the replay must be
+    detected (per-stream high-water, sources/stream_hw.py) and skipped, or
+    the duplicated delta would double rows and hash-mismatch. The survivor
+    union must equal the one-shot exact SQL, pinning the stream front end,
+    the epoch filter, and the store append path in one query."""
+    import shutil
+    import tempfile
+
+    from itext2kg_spark.corpus import CorpusStore
+    from itext2kg_spark.streaming.corpus_stream import run_corpus_stream_batch
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="corpus_stream_exact_")
+    try:
+        store = CorpusStore(root)
+        kwargs = dict(langs=("en",), min_tokens=20, min_quality_10k=4500,
+                      near_dup_threshold=None)
+        lo = docs.where(F.col("doc_id") <= mid)
+        hi = docs.where(F.col("doc_id") > mid)
+        assert run_corpus_stream_batch(lo, 0, store, stream_key="gate",
+                                       **kwargs) is True
+        # simulated post-restart replay of the committed epoch: must be a
+        # no-op or the oracle hash breaks
+        assert run_corpus_stream_batch(lo, 0, store, stream_key="gate",
+                                       **kwargs) is False
+        assert run_corpus_stream_batch(hi, 1, store, stream_key="gate",
+                                       **kwargs) is True
+        out = store.load_survivors(spark).select(
+            "doc_id", "lang_pred", "n_tokens", "quality_10k", "fp"
+        )
+        out = out.localCheckpoint()  # detach from the tmp store before cleanup
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_ann_topk(spark, sf_dir):
     from itext2kg_spark.similarity.ann import ann_topk_bruteforce
 
@@ -1478,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "corpus_prepare": _q_corpus_prepare,
         "corpus_incremental_exact": _q_corpus_incremental_exact,
+        "corpus_stream_exact": _q_corpus_stream_exact,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2280,6 +2322,7 @@ FROM documents GROUP BY 1
         "dedup_clusters": _CLUSTERS_SQL,
         "corpus_prepare": _CORPUS_SQL,
         "corpus_incremental_exact": _CORPUS_EXACT_SQL,
+        "corpus_stream_exact": _CORPUS_EXACT_SQL,
         "dedup_embedding": """
 WITH e AS (
   SELECT vec_id,
