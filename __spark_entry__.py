@@ -685,6 +685,26 @@ def _q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def _q_text_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval (similarity/bm25.py), oracle-checked end to
+    end: queries are the first 8 tokens of every doc_id % 100 == 0
+    document, so the DuckDB oracle replays tokenization, posting-list tf,
+    corpus df, the Lucene idf, length normalization, and the rounded-score
+    window rank exactly — the whole inverted-index ranking path, not just
+    row counts."""
+    from itext2kg_spark.functions.text import tokens_col
+    from itext2kg_spark.similarity.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(tokens_col(F.lower(F.col("text"))), 1, 8), " "
+        ).alias("text"),
+    )
+    return bm25_topk(queries, docs, k=10)
+
+
 def _q_text_langid(spark, sf_dir):
     from itext2kg_spark.functions.text import lang_id
 
@@ -1531,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _q_mm_features,
         "mm_frames": _q_mm_frames,
         "text_stats": _q_text_stats,
+        "text_bm25": _q_text_bm25,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_tokens": _q_text_tokens,
@@ -2335,6 +2356,55 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.u, b.u) >= 0.45
 """,
         "ann_topk": _ANN_TOPK_SQL,
+        "text_bm25": r"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(list_slice(
+             regexp_split_to_array(trim(lower(text)), '\s+'), 1, 8), ' ') AS qtext
+  FROM documents WHERE doc_id % 100 = 0
+),
+qterms AS (
+  SELECT query_id, tok AS token, count(*) AS qtf
+  FROM (SELECT query_id,
+               unnest(regexp_split_to_array(trim(lower(qtext)), '\s+')) AS tok
+        FROM q)
+  WHERE tok <> '' GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+postings AS (
+  SELECT doc_id, tok AS token, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' AND tok IN (SELECT DISTINCT token FROM qterms)
+  GROUP BY 1, 2
+),
+dftab AS (SELECT token, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT query_id, p.doc_id,
+         round(sum(qtf * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl))), 9) AS score
+  FROM postings p
+  JOIN dftab USING (token)
+  JOIN qterms USING (token)
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
         "text_stats": """
 WITH b AS (
   SELECT doc_id, text,
