@@ -685,6 +685,35 @@ def _q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def _q_web_domain_stats(spark, sf_dir):
+    """Per-domain web-corpus stats (functions/url.py), oracle-checked: URLs
+    are derived deterministically from doc_id with every parser edge case in
+    the mix (uppercase scheme+host, userinfo, ports, a two-level public
+    suffix, multi-label subdomains), so the DuckDB oracle replays the host
+    regex, the eTLD+1 rollup, the host/domain two-level aggregation, and
+    the corpus-share arithmetic exactly."""
+    from itext2kg_spark.functions.url import domain_stats
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 10 < 4,
+               F.concat(F.lit("Host"), (d % 3).cast("string"),
+                        F.lit(".Hot.Example.COM")))
+        .when(d % 10 < 6, F.lit("news.bbc.co.uk"))
+        .otherwise(F.concat(F.lit("site"), (d % 97).cast("string"),
+                            F.lit(".example.org")))
+    )
+    url = F.concat(
+        F.when(d % 7 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 11 == 0, F.lit("crawler:pw@")).otherwise(F.lit("")),
+        host,
+        F.when(d % 5 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/p/"), d.cast("string"),
+    )
+    pages = _docs(spark, sf_dir).select(url.alias("url"), "text")
+    return domain_stats(pages)
+
+
 def _q_text_bm25(spark, sf_dir):
     """BM25 top-10 retrieval (similarity/bm25.py), oracle-checked end to
     end: queries are the first 8 tokens of every doc_id % 100 == 0
@@ -1552,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": _q_mm_frames,
         "text_stats": _q_text_stats,
         "text_bm25": _q_text_bm25,
+        "web_domain_stats": _q_web_domain_stats,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_tokens": _q_text_tokens,
@@ -2356,6 +2386,58 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.u, b.u) >= 0.45
 """,
         "ann_topk": _ANN_TOPK_SQL,
+        "web_domain_stats": r"""
+WITH urls AS (
+  SELECT
+    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END)
+    || (CASE WHEN doc_id % 10 < 4
+             THEN 'Host' || CAST(doc_id % 3 AS VARCHAR) || '.Hot.Example.COM'
+             WHEN doc_id % 10 < 6 THEN 'news.bbc.co.uk'
+             ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END)
+    || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+    text
+  FROM documents
+),
+h AS (
+  SELECT lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+         len(text) AS n_chars
+  FROM urls
+),
+lab AS (
+  SELECT host, n_chars, string_split(host, '.') AS l FROM h
+),
+d AS (
+  SELECT CASE
+           WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN
+             ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+              'co.jp','ne.jp','or.jp','com.br','com.cn','co.in','co.kr','com.mx')
+             THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+           WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+           ELSE host
+         END AS domain,
+         host, n_chars
+  FROM lab
+),
+ph AS (
+  SELECT domain, host, count(*) AS n_pages, sum(n_chars) AS n_chars
+  FROM d GROUP BY 1, 2
+),
+pd AS (
+  SELECT domain, sum(n_pages) AS n_pages, count(*) AS n_hosts,
+         sum(n_chars) AS n_chars
+  FROM ph GROUP BY 1
+)
+SELECT domain,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_hosts AS BIGINT) AS n_hosts,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(floor(n_pages * 10000.0 / (SELECT sum(n_pages) FROM pd)) AS BIGINT)
+         AS share_10k
+FROM pd
+""",
         "text_bm25": r"""
 WITH q AS (
   SELECT doc_id AS query_id,
