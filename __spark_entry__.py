@@ -685,6 +685,28 @@ def _q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Per-session rollup of the events table (functions/sessions.py):
+    lag-gap session breaks + running-sum session ordinals + one-shuffle
+    per-session aggregation, replayed by the oracle with the identical
+    window SQL (epoch-microsecond arithmetic — timezone-free)."""
+    from itext2kg_spark.functions.sessions import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_s=1800)
+
+
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling 5-minute event-time windows per event_type. The SAME frame
+    definition the native streaming operator uses (streaming/
+    event_stream.py, equality-tested), so batch backfills and streaming
+    updates are interchangeable."""
+    from itext2kg_spark.functions.sessions import windowed_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_counts(events, window_s=300)
+
+
 def _q_web_domain_stats(spark, sf_dir):
     """Per-domain web-corpus stats (functions/url.py), oracle-checked: URLs
     are derived deterministically from doc_id with every parser edge case in
@@ -1582,6 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_bm25": _q_text_bm25,
         "web_domain_stats": _q_web_domain_stats,
+        "events_sessionize": _q_events_sessionize,
+        "events_windowed": _q_events_windowed,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_tokens": _q_text_tokens,
@@ -2386,6 +2410,40 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.u, b.u) >= 0.45
 """,
         "ann_topk": _ANN_TOPK_SQL,
+        "events_sessionize": r"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+  FROM e
+),
+b AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM b
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us,
+       (max(us) - min(us)) / 1000000.0 AS duration_s
+FROM s GROUP BY 1, 2
+""",
+        "events_windowed": r"""
+SELECT CAST(floor(epoch_us(ts) / (300 * 1000000)) * 300 * 1000000 AS BIGINT)
+         AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
         "web_domain_stats": r"""
 WITH urls AS (
   SELECT
