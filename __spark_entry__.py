@@ -707,6 +707,34 @@ def _q_events_windowed(spark, sf_dir):
     return windowed_counts(events, window_s=300)
 
 
+def _q_events_asof(spark, sf_dir):
+    """Point-in-time join (functions/asof.py): every purchase event picks
+    up the latest at-or-before click aggregate of the same user. The right
+    side is made (user, ts)-unique first so the oracle — DuckDB's NATIVE
+    ASOF LEFT JOIN — has the same deterministic tie surface; the engine's
+    union+window formulation must reproduce the dedicated operator's
+    output exactly, nulls (no preceding click) included."""
+    from itext2kg_spark.functions.asof import asof_join
+    from itext2kg_spark.functions.sessions import _us
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(left, right, on="user_id").select(
+        "event_id",
+        "user_id",
+        _us(F.col("ts")).alias("us"),
+        "right_ts_us",
+        "right_click_value",
+    )
+
+
 def _q_web_domain_stats(spark, sf_dir):
     """Per-domain web-corpus stats (functions/url.py), oracle-checked: URLs
     are derived deterministically from doc_id with every parser edge case in
@@ -1605,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "web_domain_stats": _q_web_domain_stats,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
         "events_windowed": _q_events_windowed,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
@@ -2435,6 +2464,20 @@ SELECT user_id,
        CAST(max(us) AS BIGINT) AS end_us,
        (max(us) - min(us)) / 1000000.0 AS duration_s
 FROM s GROUP BY 1, 2
+""",
+        "events_asof": r"""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS rus, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.us,
+       r.rus AS right_ts_us, r.click_value AS right_click_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.us >= r.rus
 """,
         "events_windowed": r"""
 SELECT CAST(floor(epoch_us(ts) / (300 * 1000000)) * 300 * 1000000 AS BIGINT)
