@@ -165,6 +165,36 @@ def _q_kg_exact_merge_edges(spark, sf_dir):
     )
 
 
+def _q_kg_degrees(spark, sf_dir):
+    """Read-side graph query (functions/graph.py:degrees) over the
+    canonical exact-merge edge table: per-entity in/out edge counts and
+    distinct-neighbor counts in one union-all + groupBy."""
+    from itext2kg_spark.functions.graph import degrees
+
+    e = _q_kg_exact_merge_edges(spark, sf_dir).select(
+        "src_name", "pred", "dst_name"
+    )
+    return degrees(e)
+
+
+def _q_kg_khop(spark, sf_dir):
+    """Frontier BFS (functions/graph.py:k_hop): min-hop distance <= 2 from
+    every entity whose normalized name starts with 'a', along directed
+    canonical edges. The oracle unrolls the two BFS rounds as SQL joins
+    with the same visited-set exclusion, so frontier dedup, min-distance
+    semantics, and the anti-join all pin exactly."""
+    from itext2kg_spark.functions.graph import k_hop
+
+    e = _q_kg_exact_merge_edges(spark, sf_dir).select("src_name", "dst_name")
+    names = (
+        e.select(F.col("src_name").alias("name"))
+        .union(e.select(F.col("dst_name").alias("name")))
+        .distinct()
+    )
+    seeds = names.where(F.col("name").startswith("a"))
+    return k_hop(e, seeds, k=2)
+
+
 def _q_kg_isolated_tokens(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     toks = d.select(
@@ -1590,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_token_quintuples": _q_kg_token_quintuples,
         "kg_entities": _q_kg_entities,
         "kg_exact_merge_edges": _q_kg_exact_merge_edges,
+        "kg_degrees": _q_kg_degrees,
+        "kg_khop": _q_kg_khop,
         "kg_isolated_tokens": _q_kg_isolated_tokens,
         "kg_counts": _q_kg_counts,
         "kg_repair": _q_kg_repair,
@@ -1919,6 +1951,51 @@ SELECT src_name, src_label, pred, dst_name, dst_label,
        count(*) AS n_mentions,
        array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
 FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        "kg_degrees": f"""
+WITH {_QUINT_CTE},
+e5 AS (
+  SELECT DISTINCT {_nn('subj_name')} AS src_name, {_nl('pred')} AS pred,
+         {_nn('obj_name')} AS dst_name
+  FROM quint
+),
+sides AS (
+  SELECT src_name AS name, 1 AS o, 0 AS i, dst_name AS nbr_o,
+         CAST(NULL AS VARCHAR) AS nbr_i
+  FROM e5
+  UNION ALL
+  SELECT dst_name, 0, 1, CAST(NULL AS VARCHAR), src_name FROM e5
+)
+SELECT name,
+       CAST(sum(o) AS BIGINT) AS out_edges,
+       CAST(sum(i) AS BIGINT) AS in_edges,
+       count(DISTINCT nbr_o) AS out_neighbors,
+       count(DISTINCT nbr_i) AS in_neighbors
+FROM sides GROUP BY 1
+""",
+        "kg_khop": f"""
+WITH {_QUINT_CTE},
+ea AS (
+  SELECT DISTINCT {_nn('subj_name')} AS u, {_nn('obj_name')} AS v FROM quint
+),
+seeds AS (
+  SELECT DISTINCT name FROM (
+    SELECT u AS name FROM ea UNION SELECT v FROM ea
+  ) WHERE name LIKE 'a%'
+),
+f1 AS (
+  SELECT DISTINCT ea.v AS name FROM ea JOIN seeds s ON ea.u = s.name
+  WHERE ea.v NOT IN (SELECT name FROM seeds)
+),
+f2 AS (
+  SELECT DISTINCT ea.v AS name FROM ea JOIN f1 ON ea.u = f1.name
+  WHERE ea.v NOT IN (SELECT name FROM seeds UNION ALL SELECT name FROM f1)
+)
+SELECT name, CAST(dist AS INT) AS dist FROM (
+  SELECT name, 0 AS dist FROM seeds
+  UNION ALL SELECT name, 1 FROM f1
+  UNION ALL SELECT name, 2 FROM f2
+)
 """,
         "kg_isolated_tokens": f"""
 WITH {_QUINT_CTE},
