@@ -195,6 +195,18 @@ def _q_kg_khop(spark, sf_dir):
     return k_hop(e, seeds, k=2)
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (functions/pagerank.py) over the canonical
+    directed edge set: 5 rounds, damping 0.85, dangling mass redistributed.
+    The oracle unrolls the identical rounds as SQL CTEs — join, grouped
+    contribution sum, dangling term and the final round(,9) all replayed,
+    so the iterative DataFrame loop is hash-pinned, not just row-counted."""
+    from itext2kg_spark.functions.pagerank import pagerank
+
+    e = _q_kg_exact_merge_edges(spark, sf_dir).select("src_name", "dst_name")
+    return pagerank(e, iters=5)
+
+
 def _q_kg_isolated_tokens(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     toks = d.select(
@@ -1622,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exact_merge_edges": _q_kg_exact_merge_edges,
         "kg_degrees": _q_kg_degrees,
         "kg_khop": _q_kg_khop,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_isolated_tokens": _q_kg_isolated_tokens,
         "kg_counts": _q_kg_counts,
         "kg_repair": _q_kg_repair,
@@ -1764,6 +1777,39 @@ def _nn(x):
 
 def _nl(x):
     return _NL.format(x=x)
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled-CTE mirror of functions/pagerank.py:pagerank — one
+    (dangling-mass, contribution-join, rank-update) CTE triple per round,
+    identical double arithmetic, final round(,9)."""
+    parts = [
+        f"WITH {_QUINT_CTE},",
+        f"adj AS (SELECT DISTINCT {_nn('subj_name')} AS u,"
+        f" {_nn('obj_name')} AS v FROM quint),",
+        "nodes AS (SELECT u AS name FROM adj UNION SELECT v FROM adj),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "outdeg AS (SELECT u AS name, count(*) AS deg FROM adj GROUP BY 1),",
+        "base AS (SELECT nodes.name, outdeg.deg FROM nodes"
+        " LEFT JOIN outdeg ON nodes.name = outdeg.name),",
+        "r0 AS (SELECT name, deg, 1.0 / (SELECT n FROM nn) AS rank FROM base),",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts += [
+            f"dm{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {p}"
+            " WHERE deg IS NULL),",
+            f"c{i} AS (SELECT adj.v AS name, sum(p.rank / p.deg) AS contrib"
+            f" FROM adj JOIN {p} p ON adj.u = p.name GROUP BY 1),",
+            f"r{i} AS (SELECT b.name, b.deg,"
+            f" (1.0 - {d!r}) / (SELECT n FROM nn)"
+            f" + {d!r} * (coalesce(c.contrib, 0.0)"
+            f" + (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) AS rank"
+            f" FROM base b LEFT JOIN c{i} c ON b.name = c.name),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT name, round(rank, 9) AS rank FROM r{iters}")
+    return "\n".join(parts)
 
 
 _SIMHASH_SQL = r"""
@@ -1973,6 +2019,7 @@ SELECT name,
        count(DISTINCT nbr_i) AS in_neighbors
 FROM sides GROUP BY 1
 """,
+        "kg_pagerank": _pagerank_sql(iters=5, d=0.85),
         "kg_khop": f"""
 WITH {_QUINT_CTE},
 ea AS (
