@@ -348,6 +348,40 @@ def _q_corpus_incremental_exact(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_kg_from_corpus(spark, sf_dir):
+    """Integration pin: corpus preparation feeding KG construction — the
+    composed path a real crawl pipeline runs. Exact-mode prepare_corpus
+    (lang/quality/length filters + fingerprint dedup) selects the survivor
+    documents, whose texts then flow through the token extraction and
+    exact-merge canonicalization. The oracle composes the SAME two CTE
+    chains (corpus kept-set + quintuple generator over the kept set), so a
+    drift in either stage OR in the handoff (wrong id set, text mutation,
+    dropped rows) hash-mismatches."""
+    from itext2kg_spark.corpus import prepare_corpus
+    from itext2kg_spark.extract.quintuples import TokenTripleExtractor
+    from itext2kg_spark.functions.normalize import (
+        norm_label,
+        norm_name,
+        norm_predicate,
+    )
+
+    kept = prepare_corpus(
+        _docs(spark, sf_dir), langs=("en",), min_tokens=20,
+        min_quality_10k=4500, near_dup_threshold=None,
+    ).select("doc_id", "text")
+    q = TokenTripleExtractor.apply(kept, text_col="text")
+    e = q.select(
+        norm_name(F.col("subj_name")).alias("src_name"),
+        norm_label(F.col("subj_label")).alias("src_label"),
+        norm_predicate(F.col("pred")).alias("pred"),
+        norm_name(F.col("obj_name")).alias("dst_name"),
+        norm_label(F.col("obj_label")).alias("dst_label"),
+    )
+    return e.groupBy(
+        "src_name", "src_label", "pred", "dst_name", "dst_label"
+    ).agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
 def _q_corpus_stream_exact(spark, sf_dir):
     """The STREAMING corpus path, oracle-checked: the same two range-ordered
     batches as corpus_incremental_exact flow through the foreachBatch entry
@@ -1664,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": _q_corpus_prepare,
         "corpus_incremental_exact": _q_corpus_incremental_exact,
         "corpus_stream_exact": _q_corpus_stream_exact,
+        "kg_from_corpus": _q_kg_from_corpus,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2551,6 +2586,19 @@ FROM documents GROUP BY 1
         "corpus_prepare": _CORPUS_SQL,
         "corpus_incremental_exact": _CORPUS_EXACT_SQL,
         "corpus_stream_exact": _CORPUS_EXACT_SQL,
+        # composed corpus-prep -> KG oracle: the quintuple generator CTE
+        # retargeted from the raw documents table to the corpus kept set
+        "kg_from_corpus": (
+            "WITH " + _CORPUS_KEPT_CTE + ","
+            + _QUINT_CTE.replace("FROM documents", "FROM kept")
+            + f"""
+SELECT {_nn('subj_name')} AS src_name, {_nl('subj_label')} AS src_label,
+       {_nl('pred')} AS pred,
+       {_nn('obj_name')} AS dst_name, {_nl('obj_label')} AS dst_label,
+       count(*) AS n_mentions
+FROM quint GROUP BY 1, 2, 3, 4, 5
+"""
+        ),
         "dedup_embedding": """
 WITH e AS (
   SELECT vec_id,
