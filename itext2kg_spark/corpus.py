@@ -235,11 +235,77 @@ class CorpusStore(StreamEpochMixin):
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def load_survivors(self, spark) -> DataFrame | None:
-        batches = self.committed_batches()
-        if not batches:
+    # -- compaction ---------------------------------------------------------
+    # The union-of-deltas read degrades as the store ages (one parquet
+    # directory per batch: a year of hourly crawl batches is ~9k file
+    # listings per load). compact() folds everything committed so far into
+    # one BASE directory; loads then read base + only the deltas newer than
+    # it. Bases are versioned write-once dirs with their own _COMMITTED
+    # marker ("through" = last folded batch id) — the same crash contract as
+    # snapshots: a partial base without its marker is invisible.
+
+    def _base_root(self) -> str:
+        return os.path.join(self.root, "base")
+
+    def _base_dir(self, through: int) -> str:
+        return os.path.join(self._base_root(), f"through={through}")
+
+    def current_base(self) -> int | None:
+        """Highest committed base's `through` batch id, or None."""
+        best = None
+        try:
+            names = os.listdir(self._base_root())
+        except FileNotFoundError:
             return None
-        paths = [os.path.join(self._snap_dir(b), "docs") for b in batches]
+        for d in names:
+            m = re.fullmatch(r"through=(\d+)", d)
+            if m and os.path.exists(
+                os.path.join(self._base_root(), d, "_COMMITTED")
+            ):
+                t = int(m.group(1))
+                best = t if best is None else max(best, t)
+        return best
+
+    def compact(self, spark, vacuum: bool = False) -> int | None:
+        """Fold the current survivor corpus (base + all committed deltas)
+        into a new base through the newest batch. With vacuum=True, folded
+        delta DATA and superseded bases are deleted — the `_COMMITTED`
+        markers stay, so batch-id allocation, replay DETECTION, and stream
+        epoch tracking are unaffected (explicitly replaying a vacuumed
+        batch id to re-read its delta is no longer possible, by design).
+        Returns the new base's `through` id, or None if there is nothing
+        newer than the current base."""
+        batches = self.committed_batches()
+        old_base = self.current_base()
+        if not batches or (old_base is not None and batches[-1] <= old_base):
+            return None
+        through = batches[-1]
+        surv = self.load_survivors(spark)
+        d = self._base_dir(through)
+        if os.path.exists(d):  # partial base from a crashed compaction
+            shutil.rmtree(d)
+        surv.write.mode("overwrite").parquet(os.path.join(d, "docs"))
+        with open(os.path.join(d, "_COMMITTED"), "w") as f:
+            json.dump({"through": through}, f)
+        if vacuum:
+            for b in batches:
+                if b <= through:
+                    shutil.rmtree(
+                        os.path.join(self._snap_dir(b), "docs"),
+                        ignore_errors=True,
+                    )
+            if old_base is not None:
+                shutil.rmtree(self._base_dir(old_base), ignore_errors=True)
+        return through
+
+    def load_survivors(self, spark) -> DataFrame | None:
+        base = self.current_base()
+        batches = [b for b in self.committed_batches()
+                   if base is None or b > base]
+        paths = [os.path.join(self._base_dir(base), "docs")] if base is not None else []
+        paths += [os.path.join(self._snap_dir(b), "docs") for b in batches]
+        if not paths:
+            return None
         return spark.read.parquet(*paths)
 
     def load_delta(self, spark, batch_id: int) -> DataFrame:
