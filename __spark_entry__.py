@@ -811,6 +811,34 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+def _q_text_keywords(spark, sf_dir):
+    """Per-document tf-idf keywords (functions/text.py:tfidf_keywords):
+    top-5 terms (len >= 4) by tf * ln(N/df), rounded ranking replayed
+    exactly by the SQL oracle."""
+    from itext2kg_spark.functions.text import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=5, min_token_len=4)
+
+
+def _q_kg_entity_search(spark, sf_dir):
+    """Fuzzy entity lookup (similarity/search.py): char-3-gram Jaccard
+    top-3 over the canonical entity names. Queries are derived from the
+    entity table itself — every name whose md5 starts with '0' or '1',
+    with its LAST character dropped (a deterministic 'typo') — so the
+    oracle replays gram construction, the gram equi-join, Jaccard, and the
+    rounded ranking end to end."""
+    from itext2kg_spark.similarity.search import fuzzy_name_search
+
+    ents = _q_kg_entities(spark, sf_dir).select("name").distinct()
+    queries = ents.where(
+        F.substring(F.md5(F.col("name")), 1, 1).isin("0", "1")
+    ).select(
+        F.col("name").alias("query_id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("query"),
+    )
+    return fuzzy_name_search(queries, ents, k=3)
+
+
 def _q_web_domain_stats(spark, sf_dir):
     """Per-domain web-corpus stats (functions/url.py), oracle-checked: URLs
     are derived deterministically from doc_id with every parser edge case in
@@ -1711,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": _q_mm_frames,
         "text_stats": _q_text_stats,
         "text_bm25": _q_text_bm25,
+        "text_keywords": _q_text_keywords,
+        "kg_entity_search": _q_kg_entity_search,
         "web_domain_stats": _q_web_domain_stats,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
@@ -2658,6 +2688,77 @@ SELECT CAST(floor(epoch_us(ts) / (300 * 1000000)) * 300 * 1000000 AS BIGINT)
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "text_keywords": r"""
+WITH terms AS (
+  SELECT doc_id, tok AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE length(tok) >= 4
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dftab AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln((SELECT n_docs FROM nn) * 1.0 / df), 9) AS score
+  FROM tf JOIN dftab USING (term)
+)
+SELECT doc_id, term, rank, score FROM (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "kg_entity_search": f"""
+WITH {_QUINT_CTE},
+ents AS (
+  SELECT DISTINCT name FROM (
+    SELECT {_nn('subj_name')} AS name FROM quint
+    UNION SELECT {_nn('obj_name')} FROM quint
+  )
+),
+q AS (
+  SELECT name AS query_id, substring(name, 1, length(name) - 1) AS query
+  FROM ents WHERE substring(md5(name), 1, 1) IN ('0', '1')
+),
+qg AS (
+  SELECT query_id, unnest(list_distinct(
+    [substring(s, i, 3) for i in range(1, greatest(length(s) - 2, 0) + 1)]
+  )) AS gram
+  FROM (SELECT query_id,
+               lower(regexp_replace(trim(query), '\\s+', ' ', 'g')) AS s
+        FROM q)
+  WHERE length(s) >= 3
+),
+ng AS (
+  SELECT name, unnest(list_distinct(
+    [substring(s, i, 3) for i in range(1, greatest(length(s) - 2, 0) + 1)]
+  )) AS gram
+  FROM (SELECT name,
+               lower(regexp_replace(trim(name), '\\s+', ' ', 'g')) AS s
+        FROM ents)
+  WHERE length(s) >= 3
+),
+qsize AS (SELECT query_id, count(*) AS qn FROM qg GROUP BY 1),
+nsize AS (SELECT name, count(*) AS nn FROM ng GROUP BY 1),
+shared AS (
+  SELECT query_id, name, count(*) AS shared
+  FROM ng JOIN qg USING (gram) GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, name,
+         round(shared * 1.0 / (qn + nn - shared), 9) AS jaccard
+  FROM shared JOIN qsize USING (query_id) JOIN nsize USING (name)
+)
+SELECT query_id, name, rank, jaccard FROM (
+  SELECT query_id, name, jaccard,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY jaccard DESC, name ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
 """,
         "web_domain_stats": r"""
 WITH urls AS (

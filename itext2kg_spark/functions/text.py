@@ -130,6 +130,56 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    (doc_id, term, rank, score) with idf = ln(N / df) (un-smoothed: a term
+    in every document scores exactly 0), score = round(tf * idf, 9), rank
+    ordered by (score DESC, term ASC). Tokens shorter than `min_token_len`
+    are dropped (the cheap stopword proxy shared with the SQL oracle).
+
+    Shape: one explode + one (doc, term) groupBy with map-side combine, a
+    df groupBy over the distinct (doc, term) pairs (ReusedExchange with
+    the tf aggregation), a one-row broadcast for N, and a per-doc window
+    top-k. Linear in corpus token count."""
+    from pyspark.sql import Window
+
+    terms = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .where(F.length("term") >= min_token_len)
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
+    )
+
+
 def bpe_token_count(text: Column) -> Column:
     """Count of BPE-ish pre-tokenizer pieces (whitespace runs excluded) —
     the standard proxy for LLM token cost over a web-text corpus."""
