@@ -88,6 +88,38 @@ def session_stats(
     )
 
 
+def session_stats_native(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE session_window operator:
+    (user_id, start_us, n_events). Works identically in batch and
+    Structured Streaming (with a watermark), which is its reason to exist
+    next to `sessionize`: the lag+cumsum formulation cannot run under the
+    streaming engine (no unbounded windows over streams), this one can.
+
+    Boundary contract vs `sessionize` (pinned by test, including the
+    exact-gap edge): both merge an event at EXACTLY prev + gap into the
+    running session (Spark extends a session window through events with
+    diff <= gap; `sessionize` breaks only on diff > gap), so the two
+    formulations agree event-for-event and are freely interchangeable
+    between batch backfills and streaming jobs."""
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events.groupBy(
+            F.session_window(ts, f"{gap_s} seconds"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            "n_events",
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     window_s: int = 300,

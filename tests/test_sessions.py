@@ -65,6 +65,70 @@ def test_session_stats_single_shuffle(spark):
     assert "EvalPython" not in final
 
 
+def test_native_session_window_agrees_off_boundary(spark):
+    """Away from exact-gap boundaries the native session_window rollup
+    equals the sessionize-derived one (same (user, session-start, count)
+    triples) — the interop contract that lets a streaming session job and
+    a batch backfill coexist."""
+    from itext2kg_spark.functions.sessions import session_stats_native
+
+    ev = _ev(spark, [
+        (0, 1, "view", 1.0), (500, 1, "view", 1.0),        # one session
+        (500 + 1801, 1, "view", 1.0),                       # gap exceeded
+        (40, 2, "view", 1.0), (40 + 3601, 2, "view", 1.0),
+    ])
+    native = sorted(
+        (r["user_id"], r["start_us"], r["n_events"])
+        for r in session_stats_native(ev, gap_s=1800).collect()
+    )
+    derived = sorted(
+        (r["user_id"], r["start_us"], r["n_events"])
+        for r in session_stats(ev, gap_s=1800).collect()
+    )
+    assert native == derived and len(native) == 4
+
+
+def test_native_session_window_boundary_agreement(spark):
+    """The exact-gap edge MERGES in both formulations (diff <= gap -> same
+    session; diff just over -> split) — verified so the interop claim
+    covers the boundary, not just the interior."""
+    from itext2kg_spark.functions.sessions import session_stats_native
+
+    at_gap = _ev(spark, [(0, 1, "view", 1.0), (1800, 1, "view", 1.0)])
+    assert session_stats_native(at_gap, gap_s=1800).count() == 1
+    assert session_stats(at_gap, gap_s=1800).count() == 1
+    over = _ev(spark, [(0, 1, "view", 1.0), (1801, 1, "view", 1.0)])
+    assert session_stats_native(over, gap_s=1800).count() == 2
+    assert session_stats(over, gap_s=1800).count() == 2
+
+
+def test_native_session_window_streams(spark, tmp_path):
+    """The native operator's purpose: the SAME rollup runs under the
+    streaming engine (where the lag+cumsum formulation cannot)."""
+    from itext2kg_spark.functions.sessions import session_stats_native
+
+    ev = _ev(spark, [
+        (0, 1, "view", 1.0), (10, 1, "view", 1.0), (5000, 1, "view", 1.0),
+        (7, 2, "view", 1.0),
+    ])
+    src = str(tmp_path / "sess_in")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_stats_native(stream.withWatermark("ts", "600 seconds"),
+                             gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("sess_native")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("sess_native").collect())
+    want = sorted(tuple(r) for r in session_stats_native(ev, gap_s=1800).collect())
+    assert got == want and len(got) == 3
+
+
 def test_windowed_counts_buckets(spark):
     ev = _ev(spark, [
         (0, 1, "view", 1.5),
