@@ -94,7 +94,31 @@ class BucketedTableStore:
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version of {self.name}")
+        if not self.spark.catalog.tableExists(self._table(v)):
+            # the built-in session catalog is in-memory: after a restart the
+            # data files and the pointer marker survive but the catalog
+            # entry does not — and WITHOUT it Spark forgets the files are
+            # bucketed and reintroduces the shuffle this store exists to
+            # remove. Re-register the existing files as a bucketed table.
+            # (On a real deployment a persistent metastore / Iceberg catalog
+            # makes this a no-op.)
+            self.register(v)
         return self.spark.table(self._table(v))
+
+    def register(self, version: int | None = None) -> None:
+        """Recreate the catalog entry for an on-disk version (see load)."""
+        v = self.current_version() if version is None else version
+        path = os.path.join(self.root, self._table(v))
+        schema = self.spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        keys = ", ".join(f"`{k}`" for k in self.keys)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._table(v)} ({cols}) "
+            f"USING PARQUET CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {self.buckets} BUCKETS LOCATION '{path}'"
+        )
 
     # -- merge --------------------------------------------------------------
     def merge_batch(

@@ -57,6 +57,28 @@ def test_merge_batch_semantics(spark, store):
     assert len(got) == 4
 
 
+def test_register_recovers_bucketing_after_catalog_loss(spark, store):
+    """Session-restart simulation: drop the in-memory catalog entry, keep
+    the files + pointer marker. load() must re-register and the recovered
+    table must STILL join co-located (bucketing metadata restored, not
+    just readable data)."""
+    store.write(spark.createDataFrame(EDGES, SCHEMA))
+    v = store.current_version()
+    spark.sql(f"DROP TABLE {store._table(v)}")
+    assert not spark.catalog.tableExists(store._table(v))
+
+    recovered = store.load()  # re-registers from the marker
+    assert sorted(map(tuple, recovered.collect())) == sorted(
+        map(tuple, spark.createDataFrame(EDGES, SCHEMA).collect())
+    )
+    fresh = spark.createDataFrame(EDGES, SCHEMA)
+    with _no_broadcast(spark):
+        plan = _final_plan(
+            store.load().join(fresh, ["src_name", "pred", "dst_name"])
+        )
+    assert plan.count("Exchange hashpartitioning") == 1  # fresh side only
+
+
 def _final_plan(df):
     df.collect()
     return (
