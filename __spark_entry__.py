@@ -839,6 +839,17 @@ def _q_kg_entity_search(spark, sf_dir):
     return fuzzy_name_search(queries, ents, k=3)
 
 
+def _q_events_hopping(spark, sf_dir):
+    """Hopping 5-minute windows sliding every 100s (functions/sessions.py:
+    hopping_counts — equality with F.window's native slideDuration frames
+    is pinned in tests; here the SQL oracle replays the epoch-floor offset
+    enumeration)."""
+    from itext2kg_spark.functions.sessions import hopping_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_counts(events, window_s=300, slide_s=100)
+
+
 def _q_web_domain_stats(spark, sf_dir):
     """Per-domain web-corpus stats (functions/url.py), oracle-checked: URLs
     are derived deterministically from doc_id with every parser edge case in
@@ -1745,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "events_windowed": _q_events_windowed,
+        "events_hopping": _q_events_hopping,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_tokens": _q_text_tokens,
@@ -2688,6 +2700,17 @@ SELECT CAST(floor(epoch_us(ts) / (300 * 1000000)) * 300 * 1000000 AS BIGINT)
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "events_hopping": r"""
+SELECT window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM (
+  SELECT CAST(floor(epoch_us(ts) / (100 * 1000000)) * 100 * 1000000
+              - k * 100 * 1000000 AS BIGINT) AS window_start_us,
+         event_type, value
+  FROM events
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS k)
+) GROUP BY 1, 2
 """,
         "text_keywords": r"""
 WITH terms AS (

@@ -88,6 +88,48 @@ def session_stats(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    window_s: int = 300,
+    slide_s: int = 100,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: every event lands in
+    window_s / slide_s overlapping windows. Same epoch-floor arithmetic as
+    `windowed_counts` — each event explodes to its window starts
+    (floor(t/slide)*slide - k*slide for k in 0..n-1, matching F.window's
+    epoch-aligned slide enumeration exactly, negative-start windows
+    included) and one groupBy aggregates. The explode factor is the
+    overlap count (a small constant); everything stays codegen.
+    `window_s` must be a multiple of `slide_s` (same restriction keeps the
+    SQL-oracle enumeration exact)."""
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    n = window_s // slide_s
+    slide_us = slide_s * 1_000_000
+    us = _us(F.col(ts_col))
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda k: (F.floor(us / slide_us) * slide_us - k * slide_us).cast(
+            "long"
+        ),
+    )
+    return (
+        events.select(
+            F.explode(starts).alias("window_start_us"),
+            F.col(type_col),
+            F.col(value_col),
+        )
+        .groupBy("window_start_us", type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )
+
+
 def session_stats_native(
     events: DataFrame,
     gap_s: int = 1800,

@@ -145,6 +145,46 @@ def test_windowed_counts_buckets(spark):
     assert out[(base + 300_000_000, "click")]["sum_value"] == 8.0
 
 
+def test_hopping_counts_equal_native_sliding_window(spark):
+    """The epoch-floor hopping enumeration equals F.window's native
+    slideDuration windows frame-for-frame (the interop contract that makes
+    the SQL oracle's arithmetic the same thing the streaming engine would
+    compute)."""
+    from itext2kg_spark.functions.sessions import hopping_counts
+
+    ev = _ev(spark, [
+        (s, 1 + s % 5, ("view", "click")[s % 2], float(s % 7))
+        for s in range(0, 1500, 11)
+    ])
+    got = sorted(
+        tuple(r) for r in hopping_counts(ev, window_s=300, slide_s=100).collect()
+    )
+    native = (
+        ev.groupBy(F.window("ts", "300 seconds", "100 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    want = sorted(tuple(r) for r in native.collect())
+    assert got == want and len(got) > 0
+    # every event appears in exactly window/slide = 3 windows
+    total = sum(r[2] for r in got)
+    assert total == ev.count() * 3
+
+
+def test_hopping_counts_rejects_nonmultiple(spark):
+    import pytest
+
+    from itext2kg_spark.functions.sessions import hopping_counts
+
+    ev = _ev(spark, [(0, 1, "view", 1.0)])
+    with pytest.raises(ValueError):
+        hopping_counts(ev, window_s=300, slide_s=77)
+
+
 def test_stream_windows_equal_batch(spark, tmp_path):
     """The native watermark+window streaming operator produces exactly the
     batch windowed_counts frames over the same data (complete mode drains
