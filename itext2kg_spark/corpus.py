@@ -325,12 +325,25 @@ class CorpusStore(StreamEpochMixin):
         """Dedup `new_docs` against the stored corpus, append the survivor
         delta atomically, return it. Replaying a committed batch id is a
         no-op (returns the stored delta without recomputing)."""
+        return self.run_batch_with_id(new_docs, batch_id, metrics, **kwargs)[1]
+
+    def run_batch_with_id(
+        self,
+        new_docs: DataFrame,
+        batch_id: int | None = None,
+        metrics: dict | None = None,
+        **kwargs,
+    ) -> tuple[int, DataFrame]:
+        """run_batch, but also returns the batch id it allocated/committed —
+        callers recording provenance against the batch (the streaming
+        high-water cache) must use THIS id, not committed_batches()[-1],
+        which is only equal under a single-writer assumption."""
         spark = new_docs.sparkSession
         batches = self.committed_batches()
         if batch_id is None:
             batch_id = (batches[-1] + 1) if batches else 0
         elif batch_id in batches:
-            return self.load_delta(spark, batch_id)
+            return batch_id, self.load_delta(spark, batch_id)
 
         stored = self.load_survivors(spark)
         delta = incremental_survivors(new_docs, stored, **kwargs)
@@ -341,4 +354,4 @@ class CorpusStore(StreamEpochMixin):
         delta.write.mode("overwrite").parquet(os.path.join(d, "docs"))
         with open(os.path.join(d, "_COMMITTED"), "w") as f:
             json.dump({"batch_id": batch_id, "metrics": metrics or {}}, f)
-        return self.load_delta(spark, batch_id)
+        return batch_id, self.load_delta(spark, batch_id)

@@ -15,13 +15,23 @@ key is md5(normalized line), which keeps the shuffle rows narrow no
 matter how long lines get (an md5 collision would over-remove one line —
 at 2^-64 per pair that is noise against the filter's own false-positive
 rate). Reassembly is byte-faithful: split + array_join on the same
-literal separator reconstructs untouched documents exactly.
+literal separator reconstructs untouched documents exactly — F.split
+treats its pattern as a Java regex, so the separator is regex-quoted
+before splitting (otherwise sep='.' or '|' would silently shred every
+document while array_join rebuilt it literally).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_JAVA_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def _regex_literal(s: str) -> str:
+    """Quote a literal string for use as a Java regex (what F.split takes)."""
+    return "".join("\\" + c if c in _JAVA_REGEX_META else c for c in s)
 
 
 def dedup_lines(
@@ -40,7 +50,9 @@ def dedup_lines(
     """
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _regex_literal(sep), -1)
+        ).alias("pos", "line"),
     ).withColumn("norm", F.lower(F.trim(F.col("line"))))
 
     common = (

@@ -111,12 +111,19 @@ def span_dedup(
     case — bounded by document length squared for a fully-duplicated doc,
     constant-bounded for web pages; it runs inside whole-stage codegen.
     """
+    # the aggregated key is renamed to a reserved name BEFORE the join: if
+    # the input already carries a column literally named 'id' (while
+    # id_col='doc_id'), joining on F.col(id_col) == F.col('id') would be
+    # ambiguous and drop('id') would eat the user's column
     dup = (
         duplicated_span_starts(docs, k, text_col, id_col, materialize)
         .groupBy("id")
         .agg(F.collect_list("pos").alias("__dups"))
+        .withColumnRenamed("id", "__dup_id")
     )
-    d = docs.join(dup, F.col(id_col) == F.col("id"), "left").drop("id")
+    d = docs.join(
+        dup, F.col(id_col) == F.col("__dup_id"), "left"
+    ).drop("__dup_id")
     d = d.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
     n_tokens = F.expr(
         f"CASE WHEN trim({text_col}) = '' THEN 0 ELSE size(__toks) END"

@@ -84,9 +84,12 @@ class BucketedTableStore:
             .saveAsTable(self._table(version))
         )
         self._commit(version)
-        if cur is not None:
+        if cur is not None and cur != version:
             # previous version stays on disk until explicitly vacuumed; only
-            # the catalog entry is dropped (readers resolve via the marker)
+            # the catalog entry is dropped (readers resolve via the marker).
+            # cur == version happens when a caller passes an explicit version
+            # equal to the committed one (an overwrite-in-place) — dropping
+            # then would deregister the table just written.
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table(cur)}")
         return version
 

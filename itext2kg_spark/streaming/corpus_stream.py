@@ -67,13 +67,12 @@ def run_corpus_stream_batch(
         return False  # replayed micro-batch after restart — already merged
     if batch_df.isEmpty():
         return False
-    batch_id = store.run_batch(
+    batch_id, _delta = store.run_batch_with_id(
         batch_df,
         metrics={"stream_key": stream_key, "stream_epoch": int(epoch_id)},
         **dedup_kwargs,
     )
-    del batch_id  # delta DataFrame; high-water advances via the cache below
-    store._write_stream_hw(
-        stream_key, int(epoch_id), store.committed_batches()[-1]
-    )
+    # record the high-water mark against the id run_batch actually allocated
+    # (committed_batches()[-1] is only equal under single-writer — ADVICE r5)
+    store._write_stream_hw(stream_key, int(epoch_id), batch_id)
     return True

@@ -139,3 +139,15 @@ class _no_broadcast:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
+def test_write_explicit_current_version_stays_registered(spark, store):
+    """ADVICE r5: write(version=current_version()) is an overwrite-in-place;
+    the just-written table must stay in the catalog (the old code dropped
+    the entry it had just created because cur == version)."""
+    df = spark.createDataFrame(EDGES, SCHEMA)
+    assert store.write(df) == 0
+    assert store.write(df.limit(2), version=0) == 0
+    assert store.current_version() == 0
+    assert spark.catalog.tableExists(store._table(0))
+    assert store.load().count() == 2

@@ -808,3 +808,30 @@ def test_dedup_lines_threshold_and_identity(spark):
     for i, t in enumerate(texts):
         assert rows[i]["n_removed"] == 0
         assert rows[i]["cleaned"] == t
+
+
+def test_dedup_lines_regex_meta_separator(spark):
+    """ADVICE r5: F.split takes a Java regex, array_join a literal — a
+    regex-meta separator ('.', '|') must be quoted or every document is
+    silently shredded on split and glued back differently on join."""
+    from itext2kg_spark.dedup.lines import dedup_lines
+
+    banner = "common part"
+    texts = [f"{banner}.unique a.x y", f"keep.{banner}.tail", f"{banner}.solo",
+             "un|touched . doc"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in dedup_lines(docs, sep=".", min_doc_df=3).collect()}
+    assert rows[0]["cleaned"] == "unique a.x y"
+    assert rows[1]["cleaned"] == "keep.tail"
+    assert rows[2]["cleaned"] == "solo"
+    # byte-faithful identity for the untouched doc, '|' and ' . ' intact
+    assert rows[3] == {"doc_id": 3, "n_lines": 2, "n_removed": 0,
+                       "cleaned": "un|touched . doc"}
+    # '|' separator: unquoted it splits between EVERY char (empty pattern)
+    rows = {r["doc_id"]: r.asDict()
+            for r in dedup_lines(docs, sep="|", min_doc_df=9).collect()}
+    assert rows[3]["cleaned"] == "un|touched . doc"
+    assert rows[3]["n_lines"] == 2

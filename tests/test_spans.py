@@ -129,3 +129,20 @@ def test_whitespace_normalization_contract(spark):
     out = _collect(span_dedup(docs, k=8))
     assert out[1]["clean_text"] == "a b c"
     assert out[1]["n_tokens"] == 3
+
+
+def test_input_with_reserved_id_column(spark):
+    """ADVICE r5: an input that already carries a column named 'id' (while
+    id_col='doc_id') must neither make the join ambiguous nor lose the
+    user's column."""
+    docs = spark.createDataFrame(
+        [(0, 99, "w0 w1 w2 w3 w4 w5 w6 w7 tail zero"),
+         (1, 98, "w0 w1 w2 w3 w4 w5 w6 w7 tail one")],
+        "doc_id long, id long, text string",
+    )
+    rows = _collect(span_dedup(docs, k=8))
+    assert rows[0]["n_removed"] == 0          # keeper
+    # shared 8-grams start at positions 0 AND 1 ("w1..w7 tail"), covering
+    # tokens 0..8 -> 9 removed
+    assert rows[1]["n_removed"] == 9
+    assert rows[1]["clean_text"] == "one"
