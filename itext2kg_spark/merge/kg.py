@@ -129,15 +129,60 @@ def embed_entities(
     )
 
 
+def merge_edges_join(stored: DataFrame, batch: DataFrame) -> DataFrame:
+    """Canonical-key merge of batch-aggregated edges into a stored edge
+    table as a FULL OUTER join (counts are list lengths here; list columns
+    concatenate and re-sort). Semantically identical to the union+groupBy
+    path — array_sort over the concat of two per-side-sorted lists equals
+    array_sort over the flattened multiset — but expressed as a join so a
+    bucketed stored side is read in place: only the (batch-sized) side
+    shuffles. Plain equality keys, NOT eqNullSafe: null-safe keys are
+    rewritten into expressions that cannot line up with the table's
+    bucketing (see BucketedTableStore.merge_plan); canonical keys are
+    non-null by construction."""
+    s, u = stored.alias("s"), batch.alias("u")
+    cond = [F.col(f"s.{k}") == F.col(f"u.{k}") for k in EDGE_GROUP_KEYS]
+    return s.join(u, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"s.{k}"), F.col(f"u.{k}")).alias(k)
+            for k in EDGE_GROUP_KEYS
+        ],
+        *[
+            F.array_sort(
+                F.concat(
+                    F.coalesce(
+                        F.col(f"s.{c}"),
+                        F.array().cast(stored.schema[c].dataType),
+                    ),
+                    F.coalesce(
+                        F.col(f"u.{c}"),
+                        F.array().cast(stored.schema[c].dataType),
+                    ),
+                )
+            ).alias(c)
+            for c in EDGE_LIST_COLS
+        ],
+    )
+
+
 def canonicalize_kg(
     quintuples: DataFrame,
     cfg: PipelineConfig,
     embedder,
     existing_entities: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
+    existing_edges_merge: str = "union",
 ) -> tuple[DataFrame, DataFrame]:
     """quintuples(url, obs_ts, fact, subj_*, pred, obj_*, t_start, t_end)
     -> (entities, edges) canonical DataFrames.
+
+    existing_edges_merge: "union" (default) unions stored edge rows into the
+    mention stream before the wide groupBy — one aggregation, both sides
+    shuffle. "join" aggregates the batch alone and FULL-OUTER-joins the
+    stored side on the canonical key (merge_edges_join) — the right mode
+    when the stored side is a bucketed table (KGStore(bucketed_edges=True)),
+    where the join reads stored buckets in place and ONLY the batch side
+    shuffles. Outputs are identical (equivalence-tested).
 
     entities: name, label, embedding array<float>
     edges:    src_name, src_label, pred, dst_name, dst_label,
@@ -305,7 +350,7 @@ def canonicalize_kg(
             F.array(F.col("fact")).alias("atomic_facts"),
         )
     )
-    if existing_edges is not None:
+    if existing_edges is not None and existing_edges_merge == "union":
         mentions = mentions.unionByName(
             existing_edges.select(*EDGE_GROUP_KEYS, *EDGE_LIST_COLS)
         )
@@ -340,4 +385,8 @@ def canonicalize_kg(
             for c in EDGE_LIST_COLS
         ]
     )
+    if existing_edges is not None and existing_edges_merge == "join":
+        edges = merge_edges_join(
+            existing_edges.select(*EDGE_GROUP_KEYS, *EDGE_LIST_COLS), edges
+        )
     return entities, edges

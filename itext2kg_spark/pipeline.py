@@ -189,6 +189,7 @@ class KGPipeline:
         pages: DataFrame,
         existing_entities: DataFrame | None = None,
         existing_edges: DataFrame | None = None,
+        existing_edges_merge: str = "union",
     ) -> tuple[DataFrame, DataFrame]:
         q = self.quintuples_from_pages(pages)
         return canonicalize_kg(
@@ -197,6 +198,7 @@ class KGPipeline:
             self.embedder,
             existing_entities=existing_entities,
             existing_edges=existing_edges,
+            existing_edges_merge=existing_edges_merge,
         )
 
     # -- incremental batches with checkpoint/resume ----------------------------
@@ -210,7 +212,13 @@ class KGPipeline:
         spark = pages.sparkSession
         existing = store.load(spark)
         ents_prev, edges_prev = existing if existing else (None, None)
-        entities, edges = self.build_graph(pages, ents_prev, edges_prev)
+        # a bucketed store serves edges_prev as a bucketed table scan — the
+        # join-form merge then reads stored buckets in place and only the
+        # batch side shuffles (plan-pinned in tests/test_bucketed.py)
+        merge_mode = "join" if getattr(store, "bucketed_edges", False) else "union"
+        entities, edges = self.build_graph(
+            pages, ents_prev, edges_prev, existing_edges_merge=merge_mode
+        )
 
         batch_id = store.next_batch_id()
         n_pages = pages.count()

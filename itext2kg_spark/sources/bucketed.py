@@ -97,6 +97,15 @@ class BucketedTableStore:
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"no committed version of {self.name}")
+        return self.load_version(v)
+
+    def load_version(self, v: int) -> DataFrame:
+        """Read a specific on-disk version as a BUCKETED table scan.
+
+        Callers with their own commit protocol (KGStore resolves the batch
+        id through its snapshot markers, not this store's pointer) read by
+        explicit version so a crash between this store's write and THEIR
+        commit can never surface an uncommitted version."""
         if not self.spark.catalog.tableExists(self._table(v)):
             # the built-in session catalog is in-memory: after a restart the
             # data files and the pointer marker survive but the catalog
