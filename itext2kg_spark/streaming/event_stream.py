@@ -28,6 +28,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hopping_counts_stream(
+    events_stream: DataFrame,
+    window_s: int = 300,
+    slide_s: int = 100,
+    watermark_s: int = 600,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming (window_start_us, event_type, n_events, sum_value) — the
+    streaming twin of functions/sessions.py:hopping_counts, via F.window's
+    native slideDuration (epoch-aligned slide enumeration, the same frames
+    the batch explode-to-starts formulation computes — pinned by a
+    batch-vs-stream equality test). Watermark semantics are identical to
+    windowed_counts_stream; each event occupies window_s/slide_s windows of
+    state until the watermark passes each window's end."""
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    return (
+        events_stream.withWatermark(ts_col, f"{watermark_s} seconds")
+        .groupBy(
+            F.window(
+                F.col(ts_col), f"{window_s} seconds", f"{slide_s} seconds"
+            ),
+            F.col(type_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            type_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def windowed_counts_stream(
     events_stream: DataFrame,
     window_s: int = 300,
