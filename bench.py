@@ -416,6 +416,65 @@ def main():
             print(f"# 10x query table failed: {e!r}", file=sys.stderr)
             detail["queries_10x_error"] = repr(e)
 
+    # Event-time operators 1x vs 10x (VERDICT r5 ask #8): sessionize /
+    # windowed / as-of on the sf events table and a 10x synthetic with a
+    # hot user holding ~10% of rows (bot skew). Sidecar-only, ~60s; the
+    # deeper 100x run stays in scripts/events_scale_probe.py.
+    if (os.environ.get("BENCH_SKIP_EVENTS_10X", "") != "1"
+            and time.time() - total0 < budget_s - 90):
+        try:
+            from itext2kg_spark.functions.asof import asof_join
+            from itext2kg_spark.functions.sessions import (
+                session_stats,
+                windowed_counts,
+            )
+            from itext2kg_spark.sources.events import synth_events
+            from pyspark.sql import functions as F
+
+            small = spark.read.parquet(
+                os.path.join(SF_DIR, "events.parquet")
+            ).localCheckpoint()
+            n_small = small.count()
+            big = synth_events(spark, n_small * 10)
+
+            def ev_suite(events):
+                r = {}
+                t0 = time.time()
+                n = session_stats(events, gap_s=1800).count()
+                r["events_sessionize"] = (round(time.time() - t0, 3), n)
+                t0 = time.time()
+                n = windowed_counts(events, window_s=300).count()
+                r["events_windowed"] = (round(time.time() - t0, 3), n)
+                left = events.where(F.col("event_type") == "purchase").select(
+                    "event_id", "user_id", "ts"
+                )
+                right = (
+                    events.where(F.col("event_type") == "click")
+                    .groupBy("user_id", "ts")
+                    .agg(F.max("value").alias("click_value"))
+                )
+                t0 = time.time()
+                n = asof_join(left, right, on="user_id").count()
+                r["events_asof"] = (round(time.time() - t0, 3), n)
+                return r
+
+            ev_suite(small)  # warm the operator plans once
+            r1, r10 = ev_suite(small), ev_suite(big)
+            ev = {}
+            for op in r1:
+                (t1, _), (t10, n10) = r1[op], r10[op]
+                ev[op] = {
+                    "sec_1x": t1, "sec_10x": t10, "rows_10x": n10,
+                    "ratio_vs_linear": round(t10 / (10 * t1), 3) if t1 else None,
+                }
+                print(f"# 10x {op}: {n10} rows in {t10}s "
+                      f"(x{ev[op]['ratio_vs_linear']} of linear)",
+                      file=sys.stderr)
+            detail["events_10x"] = ev
+        except Exception as e:  # noqa: BLE001
+            print(f"# events 10x table failed: {e!r}", file=sys.stderr)
+            detail["events_10x_error"] = repr(e)
+
     detail.update(out)
     try:
         with open(DETAIL_PATH, "w") as f:

@@ -45,6 +45,17 @@ class MatchConfig:
     # alone ignores vector width (100k rows x 1536 dims x 8B is ~1.2 GB).
     # Effective limit = min(broadcast_limit, broadcast_limit_bytes/(dim*8)).
     broadcast_limit_bytes: int = 256 * 1024 * 1024
+    # Candidate-generation broadcast->LSH row cutover — MEASURED, not
+    # asserted (BENCH.md round-6 "Broadcast->LSH cutover" table): at 64-dim
+    # the exact broadcast-BLAS path beats banded LSH at EVERY probed size
+    # (8k/16k/32k/64k, warmed min-of-2; 3.5s vs 136s at 32k on a dup-dense
+    # corpus whose hot buckets are LSH's worst case), so the row cutover
+    # sits at the top of the probed range and the BYTE ceiling above is
+    # what sends wide vectors (1536-dim > ~21k rows) to LSH. Distinct from
+    # driver_matrix_bytes/n_quad below, which bounds the DRIVER-resolve
+    # n x n matrix — a constraint the chunked executor-side BLAS path does
+    # not have (conflating the two is what pinned the old cutover at 32,768).
+    cand_broadcast_rows: int = 65_536
     # LSH shape: `lsh_rows` sign-bits per band, `lsh_bands` bands. Recall for
     # cosine θ: 1 - (1 - p^rows)^bands with p = 1 - arccos(θ)/π.
     # (6, 24) gives ≥0.997 recall at θ=0.7 and ≥0.9996 at θ=0.8.
@@ -91,6 +102,20 @@ class MatchConfig:
             self.broadcast_limit,
             self.broadcast_limit_bytes // (emb_dim * 8),
             n_quad,
+        )
+
+    def candidate_broadcast_limit(self, emb_dim: int | None = None) -> int:
+        """Row limit for candidate_pairs' auto broadcast->LSH switch: the
+        measured cutover (cand_broadcast_rows — see its comment) and the
+        collected-matrix byte ceiling. No n_quad term: the executor-side
+        BLAS path scores in (arrow-batch x n) chunks and never builds the
+        n x n matrix that bounds the driver-resolve path."""
+        if not emb_dim:
+            return min(self.broadcast_limit, self.cand_broadcast_rows)
+        return min(
+            self.broadcast_limit,
+            self.cand_broadcast_rows,
+            self.broadcast_limit_bytes // (emb_dim * 8),
         )
 
 

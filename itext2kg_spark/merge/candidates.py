@@ -137,6 +137,13 @@ def _broadcast_pairs(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, mat_b, exist_b = b.value
+        m = len(ids_b)
+        # Row-block the arrow batch so each (rows x M) sims block stays
+        # ~32 MB: one giant block (2k-row partition x 64k items = 1 GB of
+        # float64 PER TASK, x32 concurrent tasks) thrashes the allocator —
+        # measured 3.5s @32k -> 102s-254s @64k before blocking. Small blocks
+        # keep the BLAS + mask sweep in cache and the worker RSS flat.
+        blk = max(1, (32 << 20) // (m * 8))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -149,19 +156,21 @@ def _broadcast_pairs(
                 if gate_existing
                 else np.zeros(len(pdf), dtype=bool)
             )
-            sims = a_mat @ mat_b.T  # (batch, M) — BLAS
-            cond = sims >= threshold if inclusive else sims > threshold
-            cond &= a_ids[:, None] < ids_b[None, :]
-            if gate_existing:
-                cond &= ~(a_exist[:, None] & exist_b[None, :])
-            ai, bj = np.nonzero(cond)
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": ids_b[bj],
-                    "sim": sims[ai, bj],
-                }
-            )
+            for s in range(0, len(pdf), blk):
+                r_ids = a_ids[s:s + blk]
+                sims = a_mat[s:s + blk] @ mat_b.T  # (blk, M) — BLAS
+                cond = sims >= threshold if inclusive else sims > threshold
+                cond &= r_ids[:, None] < ids_b[None, :]
+                if gate_existing:
+                    cond &= ~(a_exist[s:s + blk][:, None] & exist_b[None, :])
+                ai, bj = np.nonzero(cond)
+                yield pd.DataFrame(
+                    {
+                        "id_a": r_ids[ai],
+                        "id_b": ids_b[bj],
+                        "sim": sims[ai, bj],
+                    }
+                )
 
     return items.select(*sel).mapInPandas(
         score, schema="id_a long, id_b long, sim double"
@@ -185,7 +194,7 @@ def candidate_pairs(
     method = cfg.candidate_method
     if method == "auto":
         n = n_items if n_items is not None else items.count()
-        method = "broadcast" if n <= cfg.effective_broadcast_limit(emb_dim) else "lsh"
+        method = "broadcast" if n <= cfg.candidate_broadcast_limit(emb_dim) else "lsh"
 
     has_existing = "is_existing" in items.columns
 

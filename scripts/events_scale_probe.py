@@ -24,33 +24,10 @@ from itext2kg_spark.functions.sessions import (  # noqa: E402
     windowed_counts,
 )
 from itext2kg_spark.session import get_spark  # noqa: E402
+from itext2kg_spark.sources.events import synth_events  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BIG = int(os.environ.get("EVENTS_PROBE_N", "10000000"))
-
-
-def synth_events(spark, n: int):
-    """Deterministic events: ~n/200 users plus ONE hot user with ~10% of
-    rows; timestamps spread over ~4 months with per-user bursts so
-    sessionization produces real session structure."""
-    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
-    df = spark.range(n).select(
-        F.col("id").alias("event_id"),
-        F.timestamp_add(
-            "SECOND",
-            ((F.col("id") * 37) % 10_000_000).cast("int"),
-            base,
-        ).alias("ts"),
-        F.when(F.col("id") % 10 == 0, F.lit(0))
-        .otherwise((F.xxhash64("id") % (n // 200)).cast("long"))
-        .alias("user_id"),
-        F.when(F.col("id") % 3 == 0, F.lit("view"))
-        .when(F.col("id") % 3 == 1, F.lit("click"))
-        .otherwise(F.lit("purchase"))
-        .alias("event_type"),
-        ((F.col("id") % 997) / 10.0).alias("value"),
-    )
-    return df.repartition(64).localCheckpoint()  # time operators, not synth
 
 
 def run_suite(spark, events, label):
