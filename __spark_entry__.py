@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (66 queries, 64 with DuckDB
+§2 plus the training-data-pipeline additions (68 queries, 66 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -973,6 +973,35 @@ def _q_corpus_pii(spark, sf_dir):
     return pii_scrub(docs)
 
 
+def _q_corpus_dsir(spark, sf_dir):
+    # DSIR importance resampling (Xie et al. 2023): every 17th document
+    # plays the TARGET corpus, the rest are the raw crawl being scored;
+    # hashed unigram+bigram log-ratio weights + deterministic Gumbel
+    # top-100. functions/dsir.py
+    from itext2kg_spark.functions.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs.where(F.col("doc_id") % 17 != 0),
+        docs.where(F.col("doc_id") % 17 == 0),
+        k=100,
+        n_buckets=512,
+    )
+
+
+def _q_corpus_mix(spark, sf_dir):
+    # token-budgeted corpus mixing: each source contributes docs in
+    # deterministic salted-hash order until its token budget fills.
+    # functions/sampling.py token_budget_mix
+    from itext2kg_spark.functions.sampling import token_budget_mix
+
+    return token_budget_mix(
+        _docs(spark, sf_dir),
+        budgets={"src0": 800, "src1": 400},
+        default_budget=600,
+    )
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -1779,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "dedup_simhash_verified": _q_dedup_simhash_verified,
         "mm_frames": _q_mm_frames,
+        "corpus_dsir": _q_corpus_dsir,                # round-6 stretch
+        "corpus_mix": _q_corpus_mix,                  # round-6 stretch
     }.items()}
 
 
@@ -3171,6 +3202,98 @@ SELECT o.doc_id, coalesce(a.clean_text, '') AS clean_text,
        CAST(o.n_tokens AS BIGINT) AS n_tokens,
        CAST(o.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM orig o LEFT JOIN agg a USING (doc_id)
+""",
+        # DSIR importance resampling (functions/dsir.py): hashed
+        # unigram+bigram log-ratio weights, Laplace alpha=1, 512 buckets.
+        # Logs are quantized ONCE to integer nanos and the weighted sum
+        # runs in exact BIGINT arithmetic — order-independent, so Spark's
+        # partial-agg order and DuckDB's scan order cannot drift (float
+        # sums would). Deterministic md5-keyed Gumbel top-100.
+        "corpus_dsir": r"""
+WITH rtoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 17 <> 0 AND trim(text) <> ''
+),
+ttoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 17 = 0 AND trim(text) <> ''
+),
+rgrams AS (
+  SELECT doc_id, unnest(t) AS gram FROM rtoks
+  UNION ALL
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS gram
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+        FROM rtoks WHERE len(t) >= 2)
+),
+tgrams AS (
+  SELECT doc_id, unnest(t) AS gram FROM ttoks
+  UNION ALL
+  SELECT doc_id, t[i+1] || ' ' || t[i+2] AS gram
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+        FROM ttoks WHERE len(t) >= 2)
+),
+rbc AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5('dsir-v1:' || gram), 1, 15)) AS BIGINT) % 512 AS bucket,
+         count(*) AS c
+  FROM rgrams GROUP BY 1, 2
+),
+tbkt AS (
+  SELECT CAST(concat('0x', substring(md5('dsir-v1:' || gram), 1, 15)) AS BIGINT) % 512 AS bucket,
+         count(*) AS n
+  FROM tgrams GROUP BY 1
+),
+rbkt AS (SELECT bucket, sum(c) AS n FROM rbc GROUP BY 1),
+ttot AS (SELECT sum(n) AS total FROM tbkt),
+rtot AS (SELECT sum(n) AS total FROM rbkt),
+logt AS (SELECT bucket, CAST(round(ln((n + 1.0) / (total + 512.0)) * 1e9) AS BIGINT) AS lt_n
+         FROM tbkt, ttot),
+tfloor AS (SELECT CAST(round(ln(1.0 / (total + 512.0)) * 1e9) AS BIGINT) AS tfloor_n FROM ttot),
+logr AS (SELECT bucket, CAST(round(ln((n + 1.0) / (total + 512.0)) * 1e9) AS BIGINT) AS lr_n
+         FROM rbkt, rtot),
+ratio AS (
+  SELECT r.bucket, coalesce(t.lt_n, f.tfloor_n) - r.lr_n AS logratio_n
+  FROM logr r CROSS JOIN tfloor f LEFT JOIN logt t ON r.bucket = t.bucket
+),
+weights AS (
+  SELECT rbc.doc_id, CAST(sum(rbc.c) AS BIGINT) AS n_grams,
+         CAST(sum(rbc.c * ratio.logratio_n) AS DOUBLE) / 1e9 AS weight
+  FROM rbc JOIN ratio ON rbc.bucket = ratio.bucket GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, n_grams, weight,
+         round(-ln(-ln(
+           (CAST(CAST(concat('0x', substring(md5('gumbel-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+           / 1152921504606846977.0)), 6) AS gumbel
+  FROM weights
+)
+SELECT doc_id, n_grams, weight, gumbel,
+       round(weight + gumbel, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 100
+""",
+        # token-budgeted corpus mixing (functions/sampling.py
+        # token_budget_mix — the engine computes the per-stratum running
+        # total with the two-phase bucketed windows, the oracle with one
+        # plain per-stratum window; same values)
+        "corpus_mix": r"""
+WITH t AS (
+  SELECT doc_id, source AS stratum,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CAST(concat('0x', substring(md5('mix-order-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, stratum, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, stratum, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       cum <= (CASE WHEN stratum = 'src0' THEN 800
+                    WHEN stratum = 'src1' THEN 400 ELSE 600 END) AS kept
+FROM c
 """,
         # CCNet-style corpus unigram-LM scoring (functions/lm.py —
         # integer-exact arithmetic-mean formulation, see module docstring)

@@ -1,7 +1,7 @@
 """Deterministic corpus sampling and sequence packing — the dataset-mix
 side of a training-data pipeline.
 
-Three operators:
+Four operators:
 
 - hash_stratified_sample: keep a per-stratum fraction of documents,
   decided by a salted md5 hash of the document id — deterministic,
@@ -20,6 +20,11 @@ Three operators:
   tiny partition) broadcast back. The naive Window.orderBy(...) with no
   partitionBy would pull the whole corpus through ONE task; this is the
   standard scalable decomposition.
+
+- token_budget_mix: per-stratum token-budgeted corpus mixing — each
+  domain/source contributes documents in deterministic salted-hash order
+  until its token budget fills. The running total reuses the same
+  two-phase decomposition, partitioned by (stratum, hash-range bucket).
 
 - pack_sequences: GPT-style concat-and-chunk packing. Documents are laid
   end-to-end in id order; the token stream is cut every `budget` tokens;
@@ -110,6 +115,85 @@ def global_running_total(
         part.join(F.broadcast(offsets), on="__bucket")
         .withColumn(out_col, (F.col("__cum_in") + F.col("__offset")).cast("long"))
         .drop("__bucket", "__cum_in")
+    )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix-order-v1",
+) -> DataFrame:
+    """doc_id, stratum, n_tokens, cum_tokens, kept — token-budgeted
+    corpus mixing: each stratum (domain/source/language) contributes
+    documents in a deterministic salted-hash order until its token budget
+    is exhausted. kept = the document's cumulative token total still fits
+    the stratum's budget (the straddling document is dropped, so a kept
+    mix never exceeds any budget).
+
+    This is the "give me a 30B-token web slice, 5B of books, 1B of code"
+    cut a pretraining mix needs. Replayable: the same (corpus, salt)
+    always yields the same cut, and the hash order makes the cut a
+    uniform random sample of each stratum rather than a crawl-order
+    prefix. (Unlike hash_stratified_sample, the cut is NOT superset-
+    stable — the running total is order-dependent, so documents added by
+    a re-crawl can displace survivors near the budget boundary; re-cut
+    and diff when that matters.)
+
+    Scale shape: the per-stratum running total is the same two-phase
+    decomposition as global_running_total, partitioned by (stratum,
+    hash-range bucket) — a hot stratum holding 90% of the corpus still
+    spreads over 2^16 range buckets; no stratum-sized single partition.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = docs.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    )
+    # phase 1: running sum inside (stratum, 2^16 hash-range buckets)
+    b = F.floor(F.col("__h") / F.lit(1 << 44))
+    w_in = (
+        Window.partitionBy("stratum", "__bucket")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = t.withColumn("__bucket", b).withColumn(
+        "__cum_in", F.sum("n_tokens").over(w_in)
+    )
+    # phase 2: one row per (stratum, bucket); window is per-stratum over
+    # <= 2^16 rows
+    totals = part.groupBy("stratum", "__bucket").agg(
+        F.sum("n_tokens").alias("__total")
+    )
+    w_b = (
+        Window.partitionBy("stratum")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "stratum",
+        "__bucket",
+        F.coalesce(F.sum("__total").over(w_b), F.lit(0)).alias("__offset"),
+    )
+    budget = F.lit(default_budget)
+    for value, q in sorted(budgets.items()):
+        budget = F.when(F.col("stratum") == value, F.lit(q)).otherwise(budget)
+    return (
+        part.join(F.broadcast(offsets), on=["stratum", "__bucket"])
+        .withColumn("cum_tokens", (F.col("__cum_in") + F.col("__offset")).cast("long"))
+        .withColumn("kept", F.col("cum_tokens") <= budget)
+        .select(id_col, "stratum", "n_tokens", "cum_tokens", "kept")
     )
 
 
