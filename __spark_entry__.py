@@ -1779,7 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "events_windowed": _q_events_windowed,
-        "events_hopping": _q_events_hopping,
+        "corpus_dsir": _q_corpus_dsir,                # DSIR data selection (new family)
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_tokens": _q_text_tokens,
@@ -1808,8 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "dedup_simhash_verified": _q_dedup_simhash_verified,
         "mm_frames": _q_mm_frames,
-        "corpus_dsir": _q_corpus_dsir,                # round-6 stretch
-        "corpus_mix": _q_corpus_mix,                  # round-6 stretch
+        "events_hopping": _q_events_hopping,          # sliding twin of events_windowed
+        "corpus_mix": _q_corpus_mix,                  # sampling-family companion
     }.items()}
 
 
