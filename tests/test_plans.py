@@ -178,3 +178,47 @@ def test_repetition_plan_stays_codegen(spark):
     plan = _plan(ngram_repetition(docs))
     assert "arrays_zip" in plan or "ArraysZip" in plan
     assert "ArrayTransform" not in plan and "ArrayFilter" not in plan
+
+
+def test_dsir_plan_broadcast_ratio_and_takeordered(spark):
+    """dsir_select's scale contract: the per-bucket log-ratio table joins
+    into the corpus-sized (doc, bucket, count) side as a BROADCAST hash
+    join (the ratio side is <= n_buckets rows), and the top-k is a
+    distributed TakeOrderedAndProject — never a global Sort of the
+    corpus followed by Limit."""
+    from itext2kg_spark.functions.dsir import dsir_select
+
+    raw = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "common w1 w2")], "doc_id long, text string"
+    )
+    plan = _plan(dsir_select(raw, target, k=5, n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # no corpus-wide global sort: every Sort node must be inside the
+    # take-ordered (which explain prints as TakeOrderedAndProject, not Sort)
+    for line in plan.splitlines():
+        if "Sort " in line and "TakeOrdered" not in line:
+            assert "SortAggregate" in line or "SortMergeJoin" in line, line
+
+
+def test_token_budget_mix_plan_partitioned_windows(spark):
+    """token_budget_mix's running total must keep BOTH window passes
+    partitioned (stratum x hash-range bucket, then stratum over bucket
+    totals) and broadcast the per-bucket offsets back — no stratum-sized
+    single partition, no shuffle of the corpus onto one task."""
+    from itext2kg_spark.functions.sampling import token_budget_mix
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "a b c") for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    plan = _plan(token_budget_mix(docs, budgets={"s0": 10}, default_budget=5))
+    assert plan.count("Window") >= 2
+    assert "__bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
