@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (68 queries, 66 with DuckDB
+§2 plus the training-data-pipeline additions (70 queries, 68 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1002,6 +1002,26 @@ def _q_corpus_mix(spark, sf_dir):
     )
 
 
+def _q_web_html_blocks(spark, sf_dir):
+    # pure-Catalyst boilerplate removal: block segmentation + tag
+    # classification + text density over the CC-style envelope.
+    # extract/boilerplate.py html_blocks
+    from itext2kg_spark.extract.boilerplate import html_blocks
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    return html_blocks(pages_from_documents(_docs(spark, sf_dir)))
+
+
+def _q_web_html_text(spark, sf_dir):
+    # Catalyst extractor held to the distiller's per-url byte-identity
+    # invariant: extract(wrap(text)) == text, so the oracle IS the
+    # documents table. extract/boilerplate.py extract_text
+    from itext2kg_spark.extract.boilerplate import extract_text
+    from itext2kg_spark.sources.pages import pages_from_documents
+
+    return extract_text(pages_from_documents(_docs(spark, sf_dir)))
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -1810,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": _q_mm_frames,
         "events_hopping": _q_events_hopping,          # sliding twin of events_windowed
         "corpus_mix": _q_corpus_mix,                  # sampling-family companion
+        "web_html_blocks": _q_web_html_blocks,        # Catalyst twin of the Arrow distiller
+        "web_html_text": _q_web_html_text,            # byte-identity vs documents
     }.items()}
 
 
@@ -3294,6 +3316,53 @@ SELECT doc_id, stratum, CAST(n_tokens AS BIGINT) AS n_tokens,
        cum <= (CASE WHEN stratum = 'src0' THEN 800
                     WHEN stratum = 'src1' THEN 400 ELSE 600 END) AS kept
 FROM c
+""",
+        # pure-Catalyst boilerplate removal (extract/boilerplate.py): the
+        # oracle re-runs the whole algorithm — sentinel-mark opening block
+        # tags, split, tag-strip, inverse-order entity unescape, density —
+        # on the same envelope DuckDB builds from documents
+        "web_html_blocks": r"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head><title>d</title></head><body><nav>boilerplate nav</nav><main>'
+         || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         || '</main><footer>boilerplate footer</footer></body></html>' AS raw
+  FROM documents
+),
+marked AS (
+  SELECT url,
+         string_split(regexp_replace(raw,
+           '(?i)(<(?:html|head|title|body|nav|main|article|section|aside|header|footer|p|div|h[1-6]|ul|ol|li|table|tr|td|th|pre|blockquote|script|style|noscript|form|iframe|button)\b)',
+           chr(1) || '\1', 'g'), chr(1)) AS arr
+  FROM pages
+),
+blocks AS (
+  SELECT url, i AS block_id, arr[i + 1] AS raw_block
+  FROM (SELECT url, arr, unnest(range(len(arr))) AS i FROM marked)
+),
+t AS (
+  SELECT url, block_id, raw_block,
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(raw_block, '<[^>]*>', '', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#x27;', ''''), '&#39;', ''''), '&amp;', '&') AS text
+  FROM blocks
+)
+SELECT url, CAST(block_id AS BIGINT) AS block_id,
+       lower(regexp_extract(raw_block, '^<([a-zA-Z0-9]+)', 1)) AS tag,
+       CAST(length(raw_block) AS BIGINT) AS n_raw,
+       CAST(length(text) AS BIGINT) AS n_text,
+       round(CAST(length(text) AS DOUBLE) / greatest(length(raw_block), 1), 9) AS density,
+       lower(regexp_extract(raw_block, '^<([a-zA-Z0-9]+)', 1)) NOT IN
+         ('nav','footer','header','aside','script','style','head','title',
+          'html','body','noscript','form','iframe','button') AS kept,
+       text
+FROM t WHERE trim(text) <> ''
+""",
+        # byte-identity of the Catalyst extractor: extract(wrap(text)) ==
+        # text per url, so the oracle is simply the documents table
+        "web_html_text": r"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
 """,
         # CCNet-style corpus unigram-LM scoring (functions/lm.py —
         # integer-exact arithmetic-mean formulation, see module docstring)
