@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (70 queries, 68 with DuckDB
+§2 plus the training-data-pipeline additions (71 queries, 69 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1022,6 +1022,17 @@ def _q_web_html_text(spark, sf_dir):
     return extract_text(pages_from_documents(_docs(spark, sf_dir)))
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    # WARC source round trip: documents -> grouped CRLF WARC payloads
+    # (50 records each) -> Catalyst record parser (regexp headers,
+    # Content-Length body slice). Identity, so the oracle is the
+    # documents table. sources/warc.py
+    from itext2kg_spark.sources.warc import parse_warc_records, synth_warc
+
+    parsed = parse_warc_records(synth_warc(_docs(spark, sf_dir), group=50))
+    return parsed.select("url", "warc_type", "content_length", "body")
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -1832,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,                  # sampling-family companion
         "web_html_blocks": _q_web_html_blocks,        # Catalyst twin of the Arrow distiller
         "web_html_text": _q_web_html_text,            # byte-identity vs documents
+        "warc_roundtrip": _q_warc_roundtrip,          # WARC source round trip
     }.items()}
 
 
@@ -3363,6 +3375,15 @@ FROM t WHERE trim(text) <> ''
         # text per url, so the oracle is simply the documents table
         "web_html_text": r"""
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+""",
+        # WARC source round trip (sources/warc.py): synth -> parse is the
+        # identity on (url, type, length, body)
+        "warc_roundtrip": r"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'response' AS warc_type,
+       CAST(length(text) AS BIGINT) AS content_length,
+       text AS body
+FROM documents
 """,
         # CCNet-style corpus unigram-LM scoring (functions/lm.py —
         # integer-exact arithmetic-mean formulation, see module docstring)
