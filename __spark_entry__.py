@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (71 queries, 69 with DuckDB
+§2 plus the training-data-pipeline additions (72 queries, 70 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1033,6 +1033,42 @@ def _q_warc_roundtrip(spark, sf_dir):
     return parsed.select("url", "warc_type", "content_length", "body")
 
 
+def _q_web_links(spark, sf_dir):
+    # link-graph extraction (extract/links.py): deterministic anchors —
+    # one relative, one root-relative, one absolute, plus a dropped
+    # mailto: on every 13th page — resolved against a per-page base URL.
+    from itext2kg_spark.extract.links import extract_links
+
+    d = F.col("doc_id")
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><p><a href="doc'),
+            ((d * 7 + 3) % 500).cast("string"),
+            F.lit('.html">a</a><a href="/top/'),
+            (d % 10).cast("string"),
+            F.lit('">b</a><a href="https://ext'),
+            (d % 5).cast("string"),
+            F.lit('.example.org/p">c</a>'),
+            F.when(d % 13 == 0, F.lit('<a href="mailto:x@y.z">m</a>')).otherwise(
+                F.lit("")
+            ),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"),
+            (d % 50).cast("string"),
+            F.lit(".example.com/d/"),
+            d.cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return extract_links(pages)
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -1844,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_html_blocks": _q_web_html_blocks,        # Catalyst twin of the Arrow distiller
         "web_html_text": _q_web_html_text,            # byte-identity vs documents
         "warc_roundtrip": _q_warc_roundtrip,          # WARC source round trip
+        "web_links": _q_web_links,                    # link-graph extraction
     }.items()}
 
 
@@ -3375,6 +3412,51 @@ FROM t WHERE trim(text) <> ''
         # text per url, so the oracle is simply the documents table
         "web_html_text": r"""
 SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+""",
+        # link-graph extraction (extract/links.py): the oracle re-runs the
+        # whole algorithm — regexp_extract_all hrefs, pseudo-link drop,
+        # RFC-3986-subset resolution (absolute / protocol-relative /
+        # root-relative / directory-relative) — on the same synthetic pages
+        "web_links": r"""
+WITH pages AS (
+  SELECT 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/d/'
+         || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         '<html><body><p><a href="doc' || CAST((doc_id * 7 + 3) % 500 AS VARCHAR)
+         || '.html">a</a><a href="/top/' || CAST(doc_id % 10 AS VARCHAR)
+         || '">b</a><a href="https://ext' || CAST(doc_id % 5 AS VARCHAR)
+         || '.example.org/p">c</a>'
+         || (CASE WHEN doc_id % 13 = 0 THEN '<a href="mailto:x@y.z">m</a>' ELSE '' END)
+         || '</p></body></html>' AS raw
+  FROM documents
+),
+ex AS (
+  SELECT url, regexp_extract_all(raw, '(?i)<a\s[^>]*href\s*=\s*["'']([^"''#]+)', 1) AS arr
+  FROM pages
+),
+l AS (
+  SELECT url, i AS link_pos, arr[i + 1] AS href
+  FROM (SELECT url, arr, unnest(range(len(arr))) AS i FROM ex)
+),
+f AS (
+  SELECT * FROM l
+  WHERE NOT regexp_matches(href, '(?i)^(javascript|mailto|tel|data):')
+),
+base AS (
+  SELECT *,
+         regexp_replace(url, '[?#].*$', '') AS no_query,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?[^/?#]+)', 1) AS origin,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*):', 1) AS scheme
+  FROM f
+)
+SELECT url, CAST(link_pos AS BIGINT) AS link_pos, href,
+       CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*://') THEN href
+            WHEN href LIKE '//%' THEN scheme || ':' || href
+            WHEN href LIKE '/%' THEN origin || href
+            ELSE (CASE WHEN regexp_matches(no_query, '://[^/]*$')
+                       THEN no_query || '/'
+                       ELSE regexp_replace(no_query, '[^/]*$', '') END) || href
+       END AS target
+FROM base
 """,
         # WARC source round trip (sources/warc.py): synth -> parse is the
         # identity on (url, type, length, body)
