@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (72 queries, 70 with DuckDB
+§2 plus the training-data-pipeline additions (73 queries, 71 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1069,6 +1069,53 @@ def _q_web_links(spark, sf_dir):
     return extract_links(pages)
 
 
+def _q_web_robots(spark, sf_dir):
+    # robots.txt evaluation (functions/robots.py): per-host synthetic
+    # robots bodies (comments, blank lines, consecutive user-agent lines,
+    # an exact-agent group on every 3rd host that shadows '*') REALLY
+    # parsed by parse_robots, then longest-match filtering of one URL per
+    # document hitting all four rule branches. The oracle knows the
+    # answer in closed form — if parsing or matching drifts, the hash
+    # breaks.
+    from itext2kg_spark.functions.robots import parse_robots, robots_filter
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    k = F.col("k")
+    robots = docs.select((d % 50).alias("k")).distinct().select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit(
+                "# synthetic robots\nUser-agent: *\n"
+                "Disallow: /private/   # comment\nAllow: /private/ok\n\n"
+            ),
+            F.when(
+                k % 3 == 0,
+                F.lit(
+                    "User-agent: mybot\nUser-agent: otherbot\nDisallow: /d/\n"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    path = (
+        F.when(d % 4 == 0, F.lit("/private/x"))
+        .when(d % 4 == 1, F.lit("/private/okpage"))
+        .when(d % 4 == 2, F.lit("/pub/p"))
+        .otherwise(F.lit("/d/page.html"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("http://h"),
+            (d % 50).cast("string"),
+            F.lit(".example.com"),
+            path,
+            F.lit("-"),
+            d.cast("string"),  # unique per document
+        ).alias("url")
+    )
+    return robots_filter(urls, parse_robots(robots, agent="mybot"))
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -1881,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_html_text": _q_web_html_text,            # byte-identity vs documents
         "warc_roundtrip": _q_warc_roundtrip,          # WARC source round trip
         "web_links": _q_web_links,                    # link-graph extraction
+        "web_robots": _q_web_robots,                  # robots.txt longest-match filter
     }.items()}
 
 
@@ -3457,6 +3505,31 @@ SELECT url, CAST(link_pos AS BIGINT) AS link_pos, href,
                        ELSE regexp_replace(no_query, '[^/]*$', '') END) || href
        END AS target
 FROM base
+""",
+        # robots.txt evaluation (functions/robots.py): the rule set per
+        # host is known in closed form (every 3rd host's exact mybot group
+        # shadows '*'; others carry disallow /private/ + allow /private/ok),
+        # so the oracle states the expected longest-match verdicts directly
+        # — the Spark side must actually parse and match to reproduce them
+        "web_robots": r"""
+WITH u AS (
+  SELECT doc_id % 50 AS k, doc_id % 4 AS m,
+         (CASE doc_id % 4 WHEN 0 THEN '/private/x'
+                          WHEN 1 THEN '/private/okpage'
+                          WHEN 2 THEN '/pub/p'
+                          ELSE '/d/page.html' END)
+         || '-' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+)
+SELECT 'http://h' || CAST(k AS VARCHAR) || '.example.com' || path AS url,
+       CASE WHEN k % 3 = 0 THEN (CASE WHEN m = 3 THEN '/d/' END)
+            ELSE (CASE WHEN m = 0 THEN '/private/'
+                       WHEN m = 1 THEN '/private/ok' END) END AS matched_prefix,
+       CASE WHEN k % 3 = 0 THEN (CASE WHEN m = 3 THEN 'disallow' END)
+            ELSE (CASE WHEN m = 0 THEN 'disallow'
+                       WHEN m = 1 THEN 'allow' END) END AS matched_directive,
+       CASE WHEN k % 3 = 0 THEN m <> 3 ELSE m <> 0 END AS allowed
+FROM u
 """,
         # WARC source round trip (sources/warc.py): synth -> parse is the
         # identity on (url, type, length, body)
