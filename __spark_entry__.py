@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (73 queries, 71 with DuckDB
+§2 plus the training-data-pipeline additions (74 queries, 72 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1116,6 +1116,15 @@ def _q_web_robots(spark, sf_dir):
     return robots_filter(urls, parse_robots(robots, agent="mybot"))
 
 
+def _q_corpus_chunks(spark, sf_dir):
+    # token-window chunking with overlap (reference README.md:79 uses
+    # <400-token chunks before atomic-fact extraction; 40/25 here so the
+    # sf docs produce multiple overlapping windows). functions/chunk.py
+    from itext2kg_spark.functions.chunk import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=40, stride=25)
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -1929,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,          # WARC source round trip
         "web_links": _q_web_links,                    # link-graph extraction
         "web_robots": _q_web_robots,                  # robots.txt longest-match filter
+        "corpus_chunks": _q_corpus_chunks,            # token-window chunking (overlap)
     }.items()}
 
 
@@ -3505,6 +3515,28 @@ SELECT url, CAST(link_pos AS BIGINT) AS link_pos, href,
                        ELSE regexp_replace(no_query, '[^/]*$', '') END) || href
        END AS target
 FROM base
+""",
+        # token-window chunking (functions/chunk.py): sequence-of-starts +
+        # slice windows replayed with the same arithmetic; ceil(n/stride)
+        # windows == sequence(0, n-1, stride) length
+        "corpus_chunks": r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, i AS chunk_id, i * 25 AS start_tok
+  FROM (SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks) / 25.0) AS BIGINT))) AS i
+        FROM t WHERE len(toks) > 0)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok + 1, start_tok + 40)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + 40), ' ') AS chunk
+FROM s
 """,
         # robots.txt evaluation (functions/robots.py): the rule set per
         # host is known in closed form (every 3rd host's exact mybot group
