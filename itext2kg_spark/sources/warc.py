@@ -91,7 +91,10 @@ def parse_warc_records(df: DataFrame, col: str = "payload") -> DataFrame:
         )
     ).where(F.col("__rec") != "")
     hdr = F.substring_index(F.col("__rec"), _HDR_END, 1)
-    clen = F.regexp_extract(hdr, r"Content-Length: (\d+)", 1).cast("long")
+    # try_cast, not cast: Catalyst may reorder later filters ahead of the
+    # empty-record filter (ANSI mode would then throw on ''), and real WARC
+    # streams contain malformed records — both should yield null, not fail
+    clen = F.regexp_extract(hdr, r"Content-Length: (\d+)", 1).try_cast("long")
     body = F.col("__rec").substr(
         F.length(hdr) + F.lit(len(_HDR_END) + 1), clen.cast("int")
     )

@@ -44,6 +44,37 @@ def test_read_warc_from_files(spark, tmp_path):
     assert got == {f"doc://{i}": t for i, t in DOCS}
 
 
+def test_warc_feeds_corpus_prep(spark, tmp_path):
+    """Source-to-pipeline handoff: documents round-tripped through WARC
+    files and read back via read_warc must survive corpus preparation
+    IDENTICALLY to the originals (byte-identical bodies => identical
+    kept set)."""
+    from itext2kg_spark.corpus import prepare_corpus
+
+    vocab = ("the quick brown fox jumps over the lazy dog and then it sat "
+             "down with a friend to share some of this fine bread").split()
+    rows = [
+        (
+            i,
+            " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range((i % 30) + 5)),
+            "en",
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = str(tmp_path / "warc")
+    synth_warc(docs, group=7).select("payload").write.text(p)
+    from_warc = read_warc(spark, p).select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("body").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    kw = {"langs": ("en",), "min_tokens": 10, "near_dup_threshold": None}
+    got = {r["doc_id"] for r in prepare_corpus(from_warc, **kw).collect()}
+    want = {r["doc_id"] for r in prepare_corpus(docs, **kw).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_parse_warc_plan_stays_jvm(spark):
     plan = (
         parse_warc_records(synth_warc(_docs(spark)))
