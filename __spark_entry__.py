@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (74 queries, 72 with DuckDB
+§2 plus the training-data-pipeline additions (75 queries, 73 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1125,6 +1125,31 @@ def _q_corpus_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), size=40, stride=25)
 
 
+def _q_corpus_stats(spark, sf_dir):
+    # per-source corpus length profile: docs, total/mean tokens and EXACT
+    # interpolated p50/p90/p99 (Spark `percentile` == DuckDB
+    # `quantile_cont`, both exact linear interpolation — approx sketches
+    # would not hash-match). The groupBy key is low-cardinality, so the
+    # shuffle carries one partial state per (partition, source); the
+    # percentile state is the per-group value buffer, which is why this
+    # is the EXACT variant — at 100 TB swap in approx_percentile and drop
+    # the oracle to rows-only.
+    docs = _docs(spark, sf_dir)
+    from itext2kg_spark.functions.text import token_count
+
+    t = docs.select(
+        F.col("source"), token_count(F.col("text")).cast("long").alias("n")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.round(F.avg("n"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99"),
+    )
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -1939,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_links": _q_web_links,                    # link-graph extraction
         "web_robots": _q_web_robots,                  # robots.txt longest-match filter
         "corpus_chunks": _q_corpus_chunks,            # token-window chunking (overlap)
+        "corpus_stats": _q_corpus_stats,              # per-source length profile
     }.items()}
 
 
@@ -3515,6 +3541,23 @@ SELECT url, CAST(link_pos AS BIGINT) AS link_pos, href,
                        ELSE regexp_replace(no_query, '[^/]*$', '') END) || href
        END AS target
 FROM base
+""",
+        # per-source corpus length profile: exact interpolated percentiles
+        # (quantile_cont == Spark percentile)
+        "corpus_stats": r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       round(avg(n), 6) AS mean_tokens,
+       round(quantile_cont(n, 0.5), 6) AS p50,
+       round(quantile_cont(n, 0.9), 6) AS p90,
+       round(quantile_cont(n, 0.99), 6) AS p99
+FROM t GROUP BY source
 """,
         # token-window chunking (functions/chunk.py): sequence-of-starts +
         # slice windows replayed with the same arithmetic; ceil(n/stride)
