@@ -32,6 +32,12 @@ Scale shape (the whole point of running this on Spark):
   shuffle grows with the corpus on that side.
 - Top-k selection is a distributed take-ordered (per-partition top-k,
   then a k-row merge on the driver) — never a global sort.
+- The gram subtree is COMPUTED TWICE (once for the raw distribution,
+  once for scoring) rather than checkpointed: grams are ~2x the token
+  stream, so materializing them at 100 TB costs more than re-deriving
+  them from the (already cached/columnar) text — recompute is the
+  deliberate trade. Callers that iterate (e.g. tuning alpha) should
+  localCheckpoint the `_doc_buckets` output themselves.
 
 Determinism / oracle lockstep: bucket assignment is the same 60-bit-md5
 idiom as hash_stratified_sample (bit-identical in DuckDB); the Gumbel
