@@ -109,14 +109,15 @@ def robots_filter(
     table. URLs with no applicable rule are allowed."""
     u = urls.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(F.col(url_col), HOST_RE, 1).alias("__host"),
+        # hostnames are case-insensitive (RFC 4343); paths are not
+        F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1)).alias("__host"),
         F.coalesce(
             F.nullif(F.regexp_replace(F.col(url_col), ORIGIN_STRIP_RE, ""), F.lit("")),
             F.lit("/"),
         ).alias("__path"),
     )
     r = rules.select(
-        F.col("host").alias("__rhost"),
+        F.lower(F.col("host")).alias("__rhost"),
         F.col("directive"),
         F.col("prefix"),
         F.length("prefix").alias("__plen"),

@@ -74,6 +74,15 @@ def test_longest_match_and_allow_tie(spark):
     assert nr["allowed"] and nr["matched_prefix"] is None
 
 
+def test_host_match_is_case_insensitive(spark):
+    rules = parse_robots(_robots(spark), agent="somebot")
+    urls = spark.createDataFrame(
+        [("http://B.EXAMPLE.com/blocked/x",)], "url string"
+    )
+    got = robots_filter(urls, rules).collect()[0]
+    assert not got["allowed"] and got["matched_prefix"] == "/blocked"
+
+
 def test_filter_plan_broadcasts_rules(spark):
     rules = parse_robots(_robots(spark), agent="somebot")
     urls = spark.createDataFrame([("http://a.example.com/p",)], "url string")
