@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (75 queries, 73 with DuckDB
+§2 plus the training-data-pipeline additions (76 queries, 74 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1597,15 +1597,9 @@ def _q_kg_build_graph_exact(spark, sf_dir):
     )
 
 
-def _q_kg_build_graph_temporal(spark, sf_dir):
-    """Exact-mode canonicalization over a temporal-rich synthetic mention
-    table: shared edge keys recur across documents (multi-element t_obs
-    accumulation), t_start carries ISO dates (Catalyst fast-path branch) AND
-    'March 05, 2020'-style strings (fast-path MISS -> dateutil branch), so
-    the clean/dirty timeparse row split, the remap joins, and the
-    sorted-flatten temporal list aggregation are all pinned by the SQL
-    oracle end-to-end. Thresholds above 1.0 again guarantee identity
-    resolution (see kg_build_graph_exact)."""
+def _temporal_edges(spark, sf_dir):
+    """Shared by kg_build_graph_temporal and kg_snapshot_asof: exact-mode
+    canonicalization over the temporal-rich synthetic mention table."""
     from dataclasses import replace
 
     from itext2kg_spark.config import ATOM
@@ -1646,22 +1640,55 @@ def _q_kg_build_graph_temporal(spark, sf_dir):
     )
     cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0, rel_threshold=2.0))
     _, edges = canonicalize_kg(q, cfg, HashEmbedder())
+    return edges
 
-    def joined(col):
-        return F.array_join(
-            F.transform(
-                F.array_sort(col), lambda x: x.cast("long").cast("string")
-            ),
-            ",",
-        )
 
+def _joined_epochs(col):
+    return F.array_join(
+        F.transform(F.array_sort(col), lambda x: x.cast("long").cast("string")),
+        ",",
+    )
+
+
+def _q_kg_build_graph_temporal(spark, sf_dir):
+    """Exact-mode canonicalization over a temporal-rich synthetic mention
+    table: shared edge keys recur across documents (multi-element t_obs
+    accumulation), t_start carries ISO dates (Catalyst fast-path branch) AND
+    'March 05, 2020'-style strings (fast-path MISS -> dateutil branch), so
+    the clean/dirty timeparse row split, the remap joins, and the
+    sorted-flatten temporal list aggregation are all pinned by the SQL
+    oracle end-to-end. Thresholds above 1.0 again guarantee identity
+    resolution (see kg_build_graph_exact)."""
+    edges = _temporal_edges(spark, sf_dir)
     return edges.select(
         "src_name", "src_label", "pred", "dst_name", "dst_label",
         F.size("t_obs").cast("long").alias("n_obs"),
-        joined(F.col("t_obs")).alias("t_obs_list"),
-        joined(F.col("t_start")).alias("t_start_list"),
-        joined(F.col("t_end")).alias("t_end_list"),
+        _joined_epochs(F.col("t_obs")).alias("t_obs_list"),
+        _joined_epochs(F.col("t_start")).alias("t_start_list"),
+        _joined_epochs(F.col("t_end")).alias("t_end_list"),
         F.size("atomic_facts").cast("long").alias("n_facts"),
+    )
+
+
+def _q_kg_snapshot_asof(spark, sf_dir):
+    """Bitemporal snapshot read (functions/temporal_kg.py) over the SAME
+    canonical temporal edges kg_build_graph_temporal pins: knowledge as of
+    observation time To = 2024-06-28 (epoch 1719619200 — about half the
+    corpus observed), validity flag at event time Tv = 2021-06-01
+    (epoch 1622505600 — inside the t_start range, before every t_end,
+    so the flag exercises both the min-start and the has-validity
+    branches). The oracle recomputes the cut and the flag in closed form
+    from the same generator arithmetic."""
+    from itext2kg_spark.functions.temporal_kg import kg_state_asof
+
+    snap = kg_state_asof(
+        _temporal_edges(spark, sf_dir), obs_ts=1719619200, valid_ts=1622505600
+    )
+    return snap.select(
+        "src_name", "src_label", "pred", "dst_name", "dst_label",
+        F.col("n_obs"),
+        _joined_epochs(F.col("t_obs")).alias("t_obs_list"),
+        F.col("valid_at"),
     )
 
 
@@ -1965,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots": _q_web_robots,                  # robots.txt longest-match filter
         "corpus_chunks": _q_corpus_chunks,            # token-window chunking (overlap)
         "corpus_stats": _q_corpus_stats,              # per-source length profile
+        "kg_snapshot_asof": _q_kg_snapshot_asof,      # bitemporal snapshot read
     }.items()}
 
 
@@ -2668,6 +2696,51 @@ FROM k
 JOIN obs o USING (src_name, src_label, pred, dst_name, dst_label)
 LEFT JOIN tsl ts USING (src_name, src_label, pred, dst_name, dst_label)
 LEFT JOIN tel te USING (src_name, src_label, pred, dst_name, dst_label)
+""",
+        # bitemporal snapshot (functions/temporal_kg.py kg_state_asof over
+        # the SAME canonical temporal edges): observation cut at
+        # To=1719619200, event-time validity flag at Tv=1622505600 —
+        # closed form from the generator arithmetic
+        "kg_snapshot_asof": f"""
+WITH tbase AS (
+  SELECT doc_id, unnest(range((doc_id % 4) + 1)) AS i FROM documents
+),
+tq AS (
+  SELECT doc_id, i,
+         {_nn("'E' || ((doc_id * 7 + i) % 97)")} AS src_name,
+         {_nl("'Entity'")} AS src_label,
+         {_nl("'rel' || i")} AS pred,
+         {_nn("'F' || ((doc_id * 3 + i) % 53)")} AS dst_name,
+         {_nl("'Entity'")} AS dst_label,
+         CAST(1704067200 + (doc_id % 365) * 86400 AS BIGINT) AS tobs,
+         DATE '2020-01-01' + CAST((doc_id + i) % 365 AS INT) AS iso_d,
+         DATE '2021-01-01' + CAST((doc_id * 2 + i) % 300 AS INT) AS fuzzy_d,
+         DATE '2022-01-01' + CAST((doc_id * 3 + i) % 200 AS INT) AS te_d
+  FROM tbase
+),
+vis AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         array_to_string(list_sort(list(CAST(tobs AS VARCHAR))), ',') AS t_obs_list
+  FROM tq WHERE tobs <= 1719619200 GROUP BY 1, 2, 3, 4, 5
+),
+tsmin AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         min(LEAST(CAST(epoch(iso_d) AS BIGINT), CAST(epoch(fuzzy_d) AS BIGINT))) AS mn
+  FROM tq WHERE i % 2 = 0 GROUP BY 1, 2, 3, 4, 5
+),
+temax AS (
+  SELECT src_name, src_label, pred, dst_name, dst_label,
+         max(CAST(epoch(te_d) AS BIGINT)) AS mx
+  FROM tq WHERE i % 3 = 0 GROUP BY 1, 2, 3, 4, 5
+)
+SELECT v.src_name, v.src_label, v.pred, v.dst_name, v.dst_label,
+       v.n_obs, v.t_obs_list,
+       (ts.mn IS NOT NULL AND ts.mn <= 1622505600
+        AND (te.mx IS NULL OR 1622505600 < te.mx)) AS valid_at
+FROM vis v
+LEFT JOIN tsmin ts USING (src_name, src_label, pred, dst_name, dst_label)
+LEFT JOIN temax te USING (src_name, src_label, pred, dst_name, dst_label)
 """,
         "kg_distill_text": """
 SELECT 'doc://' || doc_id AS url, text FROM documents
