@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (76 queries, 74 with DuckDB
+§2 plus the training-data-pipeline additions (77 queries, 75 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1692,6 +1692,36 @@ def _q_kg_snapshot_asof(spark, sf_dir):
     )
 
 
+def _q_kg_components(spark, sf_dir):
+    """Connected components over the canonical entity graph, FORCING the
+    shuffle-parallel min-label + pointer-jumping iteration
+    (driver_limit=0 disables the union-find fast path, so the oracle pins
+    the distributed loop itself). Node ids are the 60-bit md5 of the
+    entity name (DuckDB recomputes them bit-identically); component label
+    = min id in the component, which the oracle derives as min reachable
+    id via a recursive CTE. merge/components.py"""
+    from itext2kg_spark.merge.components import connected_components
+
+    e = _q_kg_exact_merge_edges(spark, sf_dir).select("src_name", "dst_name")
+
+    def h(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    names = (
+        e.select(F.col("src_name").alias("name"))
+        .unionByName(e.select(F.col("dst_name").alias("name")))
+        .distinct()
+    )
+    ids = names.select("name", h(F.col("name")).alias("id"))
+    edges = e.select(
+        h(F.col("src_name")).alias("id_a"), h(F.col("dst_name")).alias("id_b")
+    )
+    comp = connected_components(ids.select("id"), edges, driver_limit=0)
+    return ids.join(comp, "id").select(
+        "name", F.col("comp").cast("long").alias("component")
+    )
+
+
 def _q_kg_grammar_exact(spark, sf_dir):
     """The FULL grammar pipeline (html envelope -> Arrow distill -> sentence
     split -> vectorized pandas .str.extract grammar extraction -> timeparse
@@ -1993,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunks": _q_corpus_chunks,            # token-window chunking (overlap)
         "corpus_stats": _q_corpus_stats,              # per-source length profile
         "kg_snapshot_asof": _q_kg_snapshot_asof,      # bitemporal snapshot read
+        "kg_components": _q_kg_components,            # distributed CC, loop pinned
     }.items()}
 
 
@@ -2299,6 +2330,38 @@ SELECT src_name, src_label, pred, dst_name, dst_label,
        count(*) AS n_mentions,
        array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
 FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        # distributed connected components (merge/components.py, iterative
+        # path forced): component = min id in component == min reachable id,
+        # derived here by a recursive CTE over the undirected edge set
+        "kg_components": f"""
+WITH RECURSIVE base AS (
+  WITH {_QUINT_CTE}
+  SELECT DISTINCT {_nn('subj_name')} AS a, {_nn('obj_name')} AS b FROM quint
+),
+names AS (SELECT a AS name FROM base UNION SELECT b FROM base),
+ids AS (
+  SELECT name,
+         CAST(concat('0x', substring(md5(name), 1, 15)) AS BIGINT) AS id
+  FROM names
+),
+und AS (
+  SELECT ia.id AS s, ib.id AS d
+  FROM base JOIN ids ia ON base.a = ia.name JOIN ids ib ON base.b = ib.name
+  UNION
+  SELECT ib.id, ia.id
+  FROM base JOIN ids ia ON base.a = ia.name JOIN ids ib ON base.b = ib.name
+  UNION
+  SELECT id, id FROM ids
+),
+reach(s, d) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+)
+SELECT ids.name, CAST(min(r.d) AS BIGINT) AS component
+FROM ids JOIN reach r ON ids.id = r.s
+GROUP BY ids.name
 """,
         "kg_degrees": f"""
 WITH {_QUINT_CTE},
