@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (77 queries, 75 with DuckDB
+§2 plus the training-data-pipeline additions (78 queries, 76 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1150,6 +1150,36 @@ def _q_corpus_stats(spark, sf_dir):
     )
 
 
+def _q_events_interval_join(spark, sf_dir):
+    # binned interval-overlap join (functions/intervals.py): view windows
+    # [ts, ts+60*value] x error windows [ts, ts+120*value] per user, one
+    # row per overlapping pair via the first-common-bin trick — an equi
+    # join, not a nested loop. The oracle is the plain inequality join.
+    from itext2kg_spark.functions.intervals import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # same NTZ-to-epoch lift as functions/sessions.py (session tz is UTC)
+    s = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+    ).cast("long")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        s.alias("v_start"),
+        (s + F.floor(F.col("value") * 60).cast("long")).alias("v_end"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        s.alias("e_start"),
+        (s + F.floor(F.col("value") * 120).cast("long")).alias("e_end"),
+    )
+    return interval_join(
+        views, errors, ["user_id"], bin_width=3600,
+        l_start="v_start", l_end="v_end", r_start="e_start", r_end="e_end",
+    )
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -2024,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,              # per-source length profile
         "kg_snapshot_asof": _q_kg_snapshot_asof,      # bitemporal snapshot read
         "kg_components": _q_kg_components,            # distributed CC, loop pinned
+        "events_interval_join": _q_events_interval_join,  # binned range join
     }.items()}
 
 
@@ -3677,6 +3708,28 @@ SELECT url, CAST(link_pos AS BIGINT) AS link_pos, href,
                        ELSE regexp_replace(no_query, '[^/]*$', '') END) || href
        END AS target
 FROM base
+""",
+        # binned interval-overlap join (functions/intervals.py): the engine
+        # equi-joins on (user, time-bin) with the first-common-bin dedup;
+        # the oracle is the plain inequality join DuckDB runs natively
+        "events_interval_join": r"""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(value * 60) AS BIGINT) AS d60,
+         CAST(floor(value * 120) AS BIGINT) AS d120
+  FROM events
+),
+v AS (SELECT user_id, event_id AS view_id, s AS v_start, s + d60 AS v_end
+      FROM e WHERE event_type = 'view'),
+x AS (SELECT user_id, event_id AS error_id, s AS e_start, s + d120 AS e_end
+      FROM e WHERE event_type = 'error')
+SELECT v.user_id, v.view_id, v.v_start, v.v_end,
+       x.error_id, x.e_start, x.e_end,
+       greatest(v.v_start, x.e_start) AS overlap_start,
+       least(v.v_end, x.e_end) AS overlap_end
+FROM v JOIN x ON v.user_id = x.user_id
+             AND v.v_start <= x.e_end AND x.e_start <= v.v_end
 """,
         # per-source corpus length profile: exact interpolated percentiles
         # (quantile_cont == Spark percentile)
