@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (78 queries, 76 with DuckDB
+§2 plus the training-data-pipeline additions (79 queries, 77 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1180,6 +1180,59 @@ def _q_events_interval_join(spark, sf_dir):
     )
 
 
+def _q_sessions_stream_exact(spark, sf_dir):
+    """The applyInPandasWithState sessionizer, oracle-checked END TO END:
+    the events table streams through the REAL stateful operator
+    (streaming/session_stream.py) as file-source micro-batches — data
+    first, then a far-future flush sentinel whose watermark advance fires
+    the event-time timeouts (Spark's no-data batch evicts the remaining
+    state) — and the emitted closed sessions must hash-equal the SAME
+    lag-gap SQL that checks the batch operator (events_sessionize's
+    oracle verbatim). Pins custom keyed state, in-stream gap closes,
+    timeout closes, and the append-mode contract in one query."""
+    import datetime as _dt
+    import tempfile
+
+    from itext2kg_spark.streaming.session_stream import (
+        FLUSH_TYPE,
+        sessionize_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="sessions_stream_exact_")
+    src, ckpt = f"{root}/in", f"{root}/ckpt"
+    ev.coalesce(1).write.parquet(src)
+    sentinel = spark.createDataFrame(
+        [(10_000_000, _dt.datetime(2099, 1, 1), 999, FLUSH_TYPE, 0.0, "{}")],
+        ev.schema,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    emitted = []
+
+    def sink(batch_df, _epoch):
+        emitted.extend(batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800, watermark_s=600)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        [tuple(r) for r in emitted],
+        "user_id long, session_seq long, n_events long, "
+        "start_us long, end_us long, duration_s double",
+    )
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -2055,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_asof": _q_kg_snapshot_asof,      # bitemporal snapshot read
         "kg_components": _q_kg_components,            # distributed CC, loop pinned
         "events_interval_join": _q_events_interval_join,  # binned range join
+        "sessions_stream_exact": _q_sessions_stream_exact,  # stateful-stream twin
     }.items()}
 
 
@@ -2335,6 +2389,14 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # the stateful streaming sessionizer must equal the SAME lag-gap SQL
+    # that checks the batch operator — alias, don't duplicate
+    d["sessions_stream_exact"] = d["events_sessionize"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "kg_token_quintuples": f"""
 WITH {_QUINT_CTE}
