@@ -21,6 +21,13 @@ Pick `bin_width` near the typical interval length: too small multiplies
 the exploded rows, too large multiplies the same-bin candidates. Both
 degradations are linear and observable (exploded row count, join input
 sizes), never quadratic.
+
+Measured (500k x 500k, local[32], BENCH.md): with 500 rows/key the plain
+SMJ+residual join is ~1.7x FASTER (2.4s vs 1.4s — binning overhead, no
+quadratic term to beat); with 50k rows/key the binned join wins 7.3x
+(2.9s vs 20.9s) and the gap grows with skew. Rule of thumb: plain join
+below ~10k rows per key, interval_join above, or whenever keys are
+few/absent.
 """
 
 from __future__ import annotations
