@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (79 queries, 77 with DuckDB
+§2 plus the training-data-pipeline additions (80 queries, 78 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1805,6 +1805,20 @@ def _q_kg_components(spark, sf_dir):
     )
 
 
+def _q_kg_negatives(spark, sf_dir):
+    """Filtered negative sampling over the canonical edge set (the
+    KG-embedding training bridge): k=2 md5-deterministic corrupted tails
+    per true edge, accidental positives dropped by anti join. The oracle
+    replays the index assignment, hash arithmetic and filter exactly.
+    functions/negatives.py"""
+    from itext2kg_spark.functions.negatives import kg_negative_samples
+
+    e = _q_kg_exact_merge_edges(spark, sf_dir).select(
+        "src_name", "pred", "dst_name"
+    )
+    return kg_negative_samples(e, k=2)
+
+
 def _q_kg_grammar_exact(spark, sf_dir):
     """The FULL grammar pipeline (html envelope -> Arrow distill -> sentence
     split -> vectorized pandas .str.extract grammar extraction -> timeparse
@@ -2109,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _q_kg_components,            # distributed CC, loop pinned
         "events_interval_join": _q_events_interval_join,  # binned range join
         "sessions_stream_exact": _q_sessions_stream_exact,  # stateful-stream twin
+        "kg_negatives": _q_kg_negatives,              # KG-embedding negative sampling
     }.items()}
 
 
@@ -2423,6 +2438,37 @@ SELECT src_name, src_label, pred, dst_name, dst_label,
        count(*) AS n_mentions,
        array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
 FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        # filtered negative sampling (functions/negatives.py): dense
+        # name-ordered entity index, md5(edge, j) mod |V| corrupted tails,
+        # anti join drops accidental positives — all replayed exactly
+        "kg_negatives": f"""
+WITH {_QUINT_CTE},
+e AS (
+  SELECT DISTINCT {_nn('subj_name')} AS src_name, {_nl('pred')} AS pred,
+         {_nn('obj_name')} AS dst_name
+  FROM quint
+),
+names AS (SELECT src_name AS name FROM e UNION SELECT dst_name FROM e),
+ids AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS idx FROM names),
+nn AS (SELECT count(*) AS n FROM ids),
+cand AS (
+  SELECT e.src_name, e.pred, e.dst_name, j.neg_j,
+         CAST(concat('0x', substring(md5(
+           'kgneg-v1:' || e.src_name || ':' || e.pred || ':'
+           || e.dst_name || ':' || CAST(j.neg_j AS VARCHAR)), 1, 15))
+          AS BIGINT) % (SELECT n FROM nn) AS cidx
+  FROM e CROSS JOIN (SELECT unnest(range(1, 3)) AS neg_j) j
+),
+res AS (
+  SELECT c.src_name, c.pred, c.dst_name,
+         CAST(c.neg_j AS BIGINT) AS neg_j, i.name AS neg_dst
+  FROM cand c JOIN ids i ON c.cidx = i.idx
+)
+SELECT r.src_name, r.pred, r.dst_name, r.neg_j, r.neg_dst
+FROM res r
+ANTI JOIN e t
+  ON r.src_name = t.src_name AND r.pred = t.pred AND r.neg_dst = t.dst_name
 """,
         # distributed connected components (merge/components.py, iterative
         # path forced): component = min id in component == min reachable id,
