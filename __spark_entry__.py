@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (80 queries, 78 with DuckDB
+§2 plus the training-data-pipeline additions (81 queries, 79 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1819,6 +1819,40 @@ def _q_kg_negatives(spark, sf_dir):
     return kg_negative_samples(e, k=2)
 
 
+def _q_kg_diff(spark, sf_dir):
+    """Snapshot diff (functions/kg_diff.py): version A = the exact-merge
+    canonicalization of the EVEN documents, version B = of all documents;
+    the diff must surface exactly the edges the odd documents add or
+    re-observe ('added' and 'changed'; 'removed' is impossible here by
+    construction, which the oracle verifies implicitly). One full outer
+    join on the canonical key."""
+    from itext2kg_spark.functions.kg_diff import kg_diff
+    from itext2kg_spark.functions.normalize import (
+        norm_label,
+        norm_name,
+        norm_predicate,
+    )
+
+    def edges(docs_filter=None):
+        q = _q_kg_token_quintuples(spark, sf_dir)
+        if docs_filter is not None:
+            q = q.where(docs_filter)
+        e = q.select(
+            norm_name(F.col("subj_name")).alias("src_name"),
+            norm_label(F.col("subj_label")).alias("src_label"),
+            norm_predicate(F.col("pred")).alias("pred"),
+            norm_name(F.col("obj_name")).alias("dst_name"),
+            norm_label(F.col("obj_label")).alias("dst_label"),
+        )
+        return e.groupBy(
+            "src_name", "src_label", "pred", "dst_name", "dst_label"
+        ).agg(F.count("*").alias("n_obs"))
+
+    old = edges(F.col("doc_id") % 2 == 0)
+    new = edges(None)
+    return kg_diff(old, new)
+
+
 def _q_kg_grammar_exact(spark, sf_dir):
     """The FULL grammar pipeline (html envelope -> Arrow distill -> sentence
     split -> vectorized pandas .str.extract grammar extraction -> timeparse
@@ -2124,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval_join,  # binned range join
         "sessions_stream_exact": _q_sessions_stream_exact,  # stateful-stream twin
         "kg_negatives": _q_kg_negatives,              # KG-embedding negative sampling
+        "kg_diff": _q_kg_diff,                        # snapshot change audit
     }.items()}
 
 
@@ -2438,6 +2473,41 @@ SELECT src_name, src_label, pred, dst_name, dst_label,
        count(*) AS n_mentions,
        array_to_string(list_sort(list(CAST(t AS VARCHAR))), ',') AS t_obs_list
 FROM e GROUP BY 1, 2, 3, 4, 5
+""",
+        # snapshot diff (functions/kg_diff.py): even-docs snapshot vs the
+        # full build — added/changed edges via one full outer join
+        "kg_diff": f"""
+WITH {_QUINT_CTE},
+e_all AS (
+  SELECT {_nn('subj_name')} AS src_name, {_nl('subj_label')} AS src_label,
+         {_nl('pred')} AS pred,
+         {_nn('obj_name')} AS dst_name, {_nl('obj_label')} AS dst_label,
+         doc_id
+  FROM quint
+),
+o AS (SELECT src_name, src_label, pred, dst_name, dst_label,
+             count(*) AS old_n
+      FROM e_all WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3, 4, 5),
+n AS (SELECT src_name, src_label, pred, dst_name, dst_label,
+             count(*) AS new_n
+      FROM e_all GROUP BY 1, 2, 3, 4, 5),
+j AS (
+  SELECT coalesce(o.src_name, n.src_name) AS src_name,
+         coalesce(o.src_label, n.src_label) AS src_label,
+         coalesce(o.pred, n.pred) AS pred,
+         coalesce(o.dst_name, n.dst_name) AS dst_name,
+         coalesce(o.dst_label, n.dst_label) AS dst_label,
+         o.old_n, n.new_n
+  FROM o FULL OUTER JOIN n USING (src_name, src_label, pred, dst_name, dst_label)
+)
+SELECT src_name, src_label, pred, dst_name, dst_label,
+       CAST(coalesce(old_n, 0) AS BIGINT) AS old_n,
+       CAST(coalesce(new_n, 0) AS BIGINT) AS new_n,
+       CASE WHEN old_n IS NULL THEN 'added'
+            WHEN new_n IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM j
+WHERE old_n IS NULL OR new_n IS NULL OR old_n <> new_n
 """,
         # filtered negative sampling (functions/negatives.py): dense
         # name-ordered entity index, md5(edge, j) mod |V| corrupted tails,
