@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (81 queries, 79 with DuckDB
+§2 plus the training-data-pipeline additions (82 queries, 80 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1233,6 +1233,39 @@ def _q_sessions_stream_exact(spark, sf_dir):
     )
 
 
+def _q_web_anchor_text(spark, sf_dir):
+    # incoming-anchor-text signal (extract/links.py extract_anchor_texts):
+    # per resolved target, how many pages link there and with which
+    # (distinct, sorted) anchor texts — the web's description of a page.
+    from itext2kg_spark.extract.links import extract_anchor_texts
+
+    d = F.col("doc_id")
+    x = ((d * 7 + 3) % 500).cast("string")
+    y = (d % 10).cast("string")
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><a href="doc'), x, F.lit('.html">see '), x,
+            F.lit('</a><a href="/top/'), y, F.lit('">top <b>'), y,
+            F.lit("</b></a></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"), (d % 50).cast("string"),
+            F.lit(".example.com/d/"), d.cast("string"), F.lit(".html"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    at = extract_anchor_texts(pages)
+    return at.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias(
+            "anchors"
+        ),
+    )
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -2159,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_stream_exact": _q_sessions_stream_exact,  # stateful-stream twin
         "kg_negatives": _q_kg_negatives,              # KG-embedding negative sampling
         "kg_diff": _q_kg_diff,                        # snapshot change audit
+        "web_anchor_text": _q_web_anchor_text,        # incoming-anchor-text rollup
     }.items()}
 
 
@@ -3972,6 +4006,43 @@ SELECT 'http://h' || CAST(k AS VARCHAR) || '.example.com' || path AS url,
                        WHEN m = 1 THEN 'allow' END) END AS matched_directive,
        CASE WHEN k % 3 = 0 THEN m <> 3 ELSE m <> 0 END AS allowed
 FROM u
+""",
+        # incoming-anchor-text rollup (extract/links.py): extraction via the
+        # same two-group pattern (index alignment by identical regex),
+        # inner-markup strip + unescape + trim, resolution, then the
+        # per-target distinct-sorted aggregation
+        "web_anchor_text": r"""
+WITH pages AS (
+  SELECT 'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/d/'
+         || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         '<html><body><a href="doc' || CAST((doc_id * 7 + 3) % 500 AS VARCHAR)
+         || '.html">see ' || CAST((doc_id * 7 + 3) % 500 AS VARCHAR)
+         || '</a><a href="/top/' || CAST(doc_id % 10 AS VARCHAR)
+         || '">top <b>' || CAST(doc_id % 10 AS VARCHAR)
+         || '</b></a></body></html>' AS raw
+  FROM documents
+),
+ex AS (
+  SELECT url,
+         regexp_extract_all(raw, '(?is)<a\s[^>]*href\s*=\s*["'']([^"''#]+)[^>]*>(.*?)</a>', 1) AS hs,
+         regexp_extract_all(raw, '(?is)<a\s[^>]*href\s*=\s*["'']([^"''#]+)[^>]*>(.*?)</a>', 2) AS ts
+  FROM pages
+),
+l AS (
+  SELECT url, hs[i + 1] AS href,
+         trim(regexp_replace(ts[i + 1], '<[^>]*>', '', 'g')) AS anchor
+  FROM (SELECT url, hs, ts, unnest(range(len(hs))) AS i FROM ex)
+),
+r AS (
+  SELECT CASE WHEN href LIKE '/%' THEN
+           regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?[^/?#]+)', 1) || href
+         ELSE regexp_replace(url, '[^/]*$', '') || href END AS target,
+         anchor
+  FROM l
+)
+SELECT target, CAST(count(*) AS BIGINT) AS n_links,
+       array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
+FROM r GROUP BY target
 """,
         # WARC source round trip (sources/warc.py): synth -> parse is the
         # identity on (url, type, length, body)

@@ -29,6 +29,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HREF_RE = r"(?i)<a\s[^>]*href\s*=\s*[\"\x27]([^\"\x27#]+)"
+# href + inner anchor text in one pattern: the two regexp_extract_all
+# calls (group 1, group 2) align index-for-index because the pattern is
+# identical; (?s) lets anchors span lines, the lazy .*? stops at the
+# first </a> (nested <a> is invalid HTML and out of contract)
+ANCHOR_RE = r"(?is)<a\s[^>]*href\s*=\s*[\"\x27]([^\"\x27#]+)[^>]*>(.*?)</a>"
 SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 ORIGIN_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?[^/?#]+)"
 PSEUDO_RE = r"(?i)^(javascript|mailto|tel|data):"
@@ -67,4 +72,34 @@ def extract_links(
         F.col("link_pos").cast("long").alias("link_pos"),
         "href",
         _resolve(F.col("url"), F.col("href")).alias("target"),
+    )
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """url, link_pos, href, target, anchor — like extract_links, plus the
+    anchor's inner text (inner markup stripped, entities unescaped,
+    whitespace-trimmed). The incoming-anchor-text signal: group the
+    output by `target` to get the text the web uses to describe a page."""
+    from itext2kg_spark.extract.boilerplate import _unescape
+
+    raw = F.decode(F.col(html_col), "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(raw, F.lit(ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(raw, F.lit(ANCHOR_RE), 2).alias("rawtext"),
+    )
+    links = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(pairs).alias("link_pos", "p"),
+    ).where(~F.col("p.href").rlike(PSEUDO_RE))
+    anchor = F.trim(
+        _unescape(F.regexp_replace(F.col("p.rawtext"), "<[^>]*>", ""))
+    )
+    return links.select(
+        "url",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        F.col("p.href").alias("href"),
+        _resolve(F.col("url"), F.col("p.href")).alias("target"),
+        anchor.alias("anchor"),
     )

@@ -67,3 +67,28 @@ def test_links_plan_stays_jvm(spark):
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_anchor_text_extraction(spark):
+    from itext2kg_spark.extract.links import extract_anchor_texts
+
+    html = (
+        '<html><body>'
+        '<a href="https://x.example.org/a">Plain text</a>'
+        '<a href="/b">with <b>bold</b> inside</a>'
+        '<a href="c.html">ents &amp; stuff</a>'
+        '<a href="mailto:z@y">mail</a>'
+        '<a href="/multi">line\none</a>'
+        '</body></html>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("http://h.example.com/d/p.html", html)], "url string, html binary"
+    )
+    rows = extract_anchor_texts(pages).orderBy("link_pos").collect()
+    got = [(r["href"], r["target"], r["anchor"]) for r in rows]
+    assert got == [
+        ("https://x.example.org/a", "https://x.example.org/a", "Plain text"),
+        ("/b", "http://h.example.com/b", "with bold inside"),
+        ("c.html", "http://h.example.com/d/c.html", "ents & stuff"),
+        ("/multi", "http://h.example.com/multi", "line\none"),
+    ]
