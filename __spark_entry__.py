@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (82 queries, 80 with DuckDB
+§2 plus the training-data-pipeline additions (83 queries, 81 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1266,6 +1266,62 @@ def _q_web_anchor_text(spark, sf_dir):
     )
 
 
+def _q_web_frontier(spark, sf_dir):
+    # crawl-frontier composition pin: the REAL extract_links -> REAL
+    # parse_robots/robots_filter -> incoming-link rollup, end to end.
+    # Per crawl candidate: how many pages link there, and may we fetch it
+    # (agent 'mybot'; every 3rd host's exact group shadows '*'). The
+    # oracle recomputes targets and verdicts in closed form — a drift in
+    # extraction, resolution, robots parsing, matching, or the handoffs
+    # hash-mismatches.
+    from itext2kg_spark.extract.links import extract_links
+    from itext2kg_spark.functions.robots import parse_robots, robots_filter
+
+    d = F.col("doc_id")
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><a href="doc'),
+            ((d * 7 + 3) % 500).cast("string"),
+            F.lit('.html">a</a><a href="/top/'),
+            (d % 10).cast("string"),
+            F.lit('">b</a><a href="https://ext'),
+            (d % 5).cast("string"),
+            F.lit('.example.org/p">c</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"), (d % 50).cast("string"),
+            F.lit(".example.com/d/"), d.cast("string"), F.lit(".html"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    links = extract_links(pages)
+    k = F.col("k")
+    robots = (
+        _docs(spark, sf_dir).select((d % 50).alias("k")).distinct().select(
+            F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /top/\n\n"),
+                F.when(
+                    k % 3 == 0, F.lit("User-agent: mybot\nDisallow: /d/\n")
+                ).otherwise(F.lit("")),
+            ).alias("body"),
+        )
+    )
+    rules = parse_robots(robots, agent="mybot")
+    frontier = links.groupBy(F.col("target").alias("url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in")
+    )
+    verdicts = robots_filter(frontier.select("url"), rules)
+    return frontier.join(verdicts.select("url", "allowed"), "url").select(
+        F.col("url").alias("target"), "n_in", "allowed"
+    )
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -2193,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,              # KG-embedding negative sampling
         "kg_diff": _q_kg_diff,                        # snapshot change audit
         "web_anchor_text": _q_web_anchor_text,        # incoming-anchor-text rollup
+        "web_frontier": _q_web_frontier,              # links x robots composition
     }.items()}
 
 
@@ -4043,6 +4100,34 @@ r AS (
 SELECT target, CAST(count(*) AS BIGINT) AS n_links,
        array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
 FROM r GROUP BY target
+""",
+        # crawl-frontier composition (extract_links -> parse_robots ->
+        # robots_filter -> rollup): closed-form targets and verdicts —
+        # on every 3rd host the exact mybot group (/d/ only) shadows '*'
+        # (/top/), so /d/ pages flip DISallowed there and /top/ pages flip
+        # ALLOWED; external hosts carry no rules
+        "web_frontier": r"""
+WITH t AS (
+  SELECT doc_id % 50 AS k, (doc_id * 7 + 3) % 500 AS x,
+         doc_id % 10 AS y, doc_id % 5 AS z
+  FROM documents
+),
+targets AS (
+  SELECT 'http://h' || CAST(k AS VARCHAR) || '.example.com/d/doc'
+         || CAST(x AS VARCHAR) || '.html' AS target,
+         (k % 3 <> 0) AS allowed
+  FROM t
+  UNION ALL
+  SELECT 'http://h' || CAST(k AS VARCHAR) || '.example.com/top/'
+         || CAST(y AS VARCHAR),
+         (k % 3 = 0)
+  FROM t
+  UNION ALL
+  SELECT 'https://ext' || CAST(z AS VARCHAR) || '.example.org/p', TRUE
+  FROM t
+)
+SELECT target, CAST(count(*) AS BIGINT) AS n_in, allowed
+FROM targets GROUP BY target, allowed
 """,
         # WARC source round trip (sources/warc.py): synth -> parse is the
         # identity on (url, type, length, body)
