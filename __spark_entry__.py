@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (83 queries, 81 with DuckDB
+§2 plus the training-data-pipeline additions (85 queries, 83 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1322,6 +1322,59 @@ def _q_web_frontier(spark, sf_dir):
     )
 
 
+def _q_web_sitemap(spark, sf_dir):
+    # sitemap parsing (functions/sitemap.py): per-document sitemap bodies
+    # with two <url> entries (one fully-populated, one whitespace-padded
+    # loc-only) plus a <sitemapindex> on every 7th document — REALLY
+    # parsed; the oracle states the fields in closed form.
+    from itext2kg_spark.functions.sitemap import parse_sitemap
+
+    d = F.col("doc_id")
+    k = (d % 50).cast("string")
+    ds = d.cast("string")
+    body = F.concat(
+        F.lit("<urlset><url><loc>https://h"), k, F.lit(".example.com/p"), ds,
+        F.lit("</loc><lastmod>2024-01-"),
+        F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (d % 10).cast("string"),
+        F.lit("</priority></url><url><loc> https://h"), k,
+        F.lit(".example.com/q"), ds, F.lit(" </loc></url></urlset>"),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://h"), k,
+                F.lit(".example.com/sm"), ds,
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    sitemaps = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), k, F.lit(".example.com")).alias("host"),
+        body.alias("body"),
+    )
+    return parse_sitemap(sitemaps)
+
+
+def _q_web_url_canon(spark, sf_dir):
+    # URL canonicalization (functions/sitemap.py canonicalize_url): messy
+    # synthetic urls (uppercase scheme/host, default port, duplicate
+    # slashes, unsorted query, fragment) -> the frontier dedup key; the
+    # oracle states the canonical form in closed form.
+    from itext2kg_spark.functions.sitemap import canonicalize_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://H"), (d % 50).cast("string"),
+        F.lit(".Example.COM:80//d//"), d.cast("string"),
+        F.lit("?b="), (d % 3).cast("string"),
+        F.lit("&a="), (d % 5).cast("string"),
+        F.lit("#s"), d.cast("string"),
+    )
+    return _docs(spark, sf_dir).select(
+        url.alias("url"), canonicalize_url(url).alias("canonical")
+    )
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -2250,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": _q_kg_diff,                        # snapshot change audit
         "web_anchor_text": _q_web_anchor_text,        # incoming-anchor-text rollup
         "web_frontier": _q_web_frontier,              # links x robots composition
+        "web_sitemap": _q_web_sitemap,                # sitemap + index parsing
+        "web_url_canon": _q_web_url_canon,            # frontier dedup key
     }.items()}
 
 
@@ -4128,6 +4183,47 @@ targets AS (
 )
 SELECT target, CAST(count(*) AS BIGINT) AS n_in, allowed
 FROM targets GROUP BY target, allowed
+""",
+        # sitemap parsing (functions/sitemap.py): fields in closed form —
+        # two url entries per doc (entry_pos 0/1) + an index entry on
+        # every 7th doc
+        "web_sitemap": r"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS k,
+         CAST(doc_id AS VARCHAR) AS ds
+  FROM documents
+),
+rows_ AS (
+  SELECT 'h' || k || '.example.com' AS host, 'url' AS kind,
+         CAST(0 AS BIGINT) AS entry_pos,
+         'https://h' || k || '.example.com/p' || ds AS loc,
+         '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+         '' AS changefreq,
+         '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+  FROM d
+  UNION ALL
+  SELECT 'h' || k || '.example.com', 'url', 1,
+         'https://h' || k || '.example.com/q' || ds, '', '', ''
+  FROM d
+  UNION ALL
+  SELECT 'h' || k || '.example.com', 'sitemap', 0,
+         'https://h' || k || '.example.com/sm' || ds || '.xml', '', '', ''
+  FROM d WHERE doc_id % 7 = 0
+)
+SELECT * FROM rows_
+""",
+        # URL canonicalization (functions/sitemap.py): closed-form key
+        "web_url_canon": r"""
+SELECT 'HTTP://H' || CAST(doc_id % 50 AS VARCHAR)
+       || '.Example.COM:80//d//' || CAST(doc_id AS VARCHAR)
+       || '?b=' || CAST(doc_id % 3 AS VARCHAR)
+       || '&a=' || CAST(doc_id % 5 AS VARCHAR)
+       || '#s' || CAST(doc_id AS VARCHAR) AS url,
+       'http://h' || CAST(doc_id % 50 AS VARCHAR)
+       || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+       || '?a=' || CAST(doc_id % 5 AS VARCHAR)
+       || '&b=' || CAST(doc_id % 3 AS VARCHAR) AS canonical
+FROM documents
 """,
         # WARC source round trip (sources/warc.py): synth -> parse is the
         # identity on (url, type, length, body)
