@@ -5,7 +5,7 @@
 wrapped as Common-Crawl-style pages.
 
 `queries()` / `oracle_sql()` — one entry per operator family from SURVEY.md
-§2 plus the training-data-pipeline additions (85 queries, 83 with DuckDB
+§2 plus the training-data-pipeline additions (86 queries, 84 with DuckDB
 oracles; the first 50 dict positions carry one representative per family —
 see the ORDER CONTRACT note on queries()). Oracle techniques: unique-text synthetic corpora that make
 embedding matching equal an equi-join; keyed one-hot embedders that make
@@ -1375,6 +1375,43 @@ def _q_web_url_canon(spark, sf_dir):
     )
 
 
+def _q_web_meta(spark, sf_dir):
+    # head-metadata extraction (extract/meta.py): titles with inner
+    # markup + entities, description/robots meta in BOTH attribute orders
+    # (alternating by parity), canonical links with fragments, noindex on
+    # every 5th page — really parsed; closed-form oracle.
+    from itext2kg_spark.extract.meta import html_meta
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    robots_val = F.when(d % 5 == 0, F.lit("noindex, follow")).otherwise(
+        F.lit("index, follow")
+    )
+    desc_tag = F.when(
+        d % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="page '), ds,
+                 F.lit(' desc">')),
+    ).otherwise(
+        F.concat(F.lit("<meta content='page "), ds,
+                 F.lit(" desc' name='description'>")),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc <b>"), ds,
+            F.lit("</b> &amp; title</title>"), desc_tag,
+            F.lit('<meta name="robots" content="'), robots_val,
+            F.lit('"><link rel="canonical" href="https://c'),
+            (d % 9).cast("string"), F.lit(".example.com/p"), ds,
+            F.lit('#frag"></head><body>x</body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), ds).alias("url"), html.alias("html")
+    )
+    return html_meta(pages)
+
+
 def _q_corpus_line_dedup(spark, sf_dir):
     # single-line synthetic docs: ' ' as the line separator makes tokens
     # play the role of lines; min_doc_df=300 strips the stopword-like
@@ -2305,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier": _q_web_frontier,              # links x robots composition
         "web_sitemap": _q_web_sitemap,                # sitemap + index parsing
         "web_url_canon": _q_web_url_canon,            # frontier dedup key
+        "web_meta": _q_web_meta,                      # head metadata + noindex
     }.items()}
 
 
@@ -4211,6 +4249,20 @@ rows_ AS (
   FROM d WHERE doc_id % 7 = 0
 )
 SELECT * FROM rows_
+""",
+        # head-metadata extraction (extract/meta.py): closed form — the
+        # Spark side must parse titles/meta (both attribute orders) and
+        # classify noindex to reproduce these rows
+        "web_meta": r"""
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' & title' AS title,
+       'page ' || CAST(doc_id AS VARCHAR) || ' desc' AS description,
+       'https://c' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p'
+         || CAST(doc_id AS VARCHAR) AS canonical,
+       CASE WHEN doc_id % 5 = 0 THEN 'noindex, follow'
+            ELSE 'index, follow' END AS robots_meta,
+       doc_id % 5 = 0 AS noindex
+FROM documents
 """,
         # URL canonicalization (functions/sitemap.py): closed-form key
         "web_url_canon": r"""
