@@ -1226,6 +1226,9 @@ def _q_sessions_stream_exact(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # result already collected
     return spark.createDataFrame(
         [tuple(r) for r in emitted],
         "user_id long, session_seq long, n_events long, "
