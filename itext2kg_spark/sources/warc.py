@@ -110,6 +110,37 @@ def parse_warc_records(df: DataFrame, col: str = "payload") -> DataFrame:
     )
 
 
+def read_warc_gz(spark: SparkSession, path: str) -> DataFrame:
+    """Gzipped WARC files (how Common Crawl ships them: one gzip MEMBER
+    per record, concatenated). The Python stage does ONLY the member-wise
+    gunzip (zlib decompressobj loop over each file's bytes — gzip members
+    are not splittable without an external index, so parallelism is
+    per-file, the same granularity every WARC consumer uses); record
+    parsing stays in the Catalyst parser. Arrow-batched mapInPandas over
+    spark.read.format('binaryFile')."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def gunzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for blob in pdf["content"]:
+                buf, data = [], bytes(blob)
+                while data:
+                    d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+                    buf.append(d.decompress(data))
+                    data = d.unused_data
+                payloads.append(b"".join(buf).decode("utf-8", errors="replace"))
+            yield pd.DataFrame({"payload": payloads})
+
+    records = raw.mapInPandas(gunzip, schema="payload string")
+    return parse_warc_records(records, "payload")
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """File-based WARC source: the text reader splits at record headers
     (lineSep), so each row arriving at parse_warc_records is exactly one

@@ -82,3 +82,29 @@ def test_parse_warc_plan_stays_jvm(spark):
     )
     assert "EvalPython" not in plan
     assert "Generate" in plan
+
+
+def test_read_warc_gz_member_per_record(spark, tmp_path):
+    """Common-Crawl layout: one gzip member per record, members
+    concatenated per file — the member-wise gunzip must recover every
+    record byte-identically."""
+    import gzip
+    import os
+
+    from itext2kg_spark.sources.warc import read_warc_gz
+
+    docs = _docs(spark)
+    payloads = [
+        r["payload"]
+        for r in synth_warc(docs, group=2).orderBy("warc_id").collect()
+    ]
+    p = str(tmp_path / "warcgz")
+    os.makedirs(p)
+    for i, payload in enumerate(payloads):
+        # split the grouped payload back into records, one member each
+        recs = ["WARC/1.0\r\n" + r for r in payload.split("WARC/1.0\r\n") if r]
+        with open(f"{p}/part{i}.warc.gz", "wb") as f:
+            for rec in recs:
+                f.write(gzip.compress(rec.encode()))
+    got = {r["url"]: r["body"] for r in read_warc_gz(spark, p).collect()}
+    assert got == {f"doc://{i}": t for i, t in DOCS}
