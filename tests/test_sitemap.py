@@ -66,3 +66,41 @@ def test_canonicalize_is_idempotent(spark):
     once = df.select(canonicalize_url(F.col("url")).alias("u"))
     twice = once.select(canonicalize_url(F.col("u")).alias("u"))
     assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
+
+
+from hypothesis import given, settings, strategies as st
+
+_SEG = st.text(alphabet="abcXYZ09-._~", min_size=1, max_size=6)
+_URLS = st.builds(
+    lambda scheme, host, port, segs, q, frag: (
+        scheme + "://" + host + port + "/" + "/".join(segs)
+        + ("?" + "&".join(q) if q else "") + ("#" + frag if frag else "")
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    st.builds(lambda a, b: f"{a}.{b}.example.com",
+              st.sampled_from(["w", "W", "site", "SITE"]), _SEG),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(_SEG, min_size=0, max_size=3),
+    st.lists(st.builds(lambda k, v: f"{k}={v}", _SEG, _SEG), max_size=3),
+    st.sampled_from(["", "sec", "x"]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_URLS, min_size=1, max_size=25))
+def test_canonicalize_idempotent_property(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    df2 = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [
+        r["c"]
+        for r in df2.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert once == twice
+    # canonical forms keep lowercase scheme+host and carry no fragment
+    for c in once:
+        assert "#" not in c
+        assert c.split("://")[0].islower()
