@@ -6,11 +6,18 @@ raw files (pypdf etc). Our input is the Common-Crawl-style pages table
 (url, warc_ts, html, lang, [text]) per BASELINE.json input_hint, and the
 contract is: `distill(html) == text` byte-identically for every url.
 
-Implementation: `mapInPandas` over Arrow batches — the single place raw bytes
-are touched. Extraction is a deterministic main-content parse (the synthetic
-pages embed the text inside <main>…</main>; real WARC payloads would swap in a
-real extractor here with the same signature). Everything downstream never
-reads `html` again, so Catalyst prunes the (large, binary) column out of every
+Implementation: pure Catalyst (decode + regexp_extract + entity replace) —
+no Python stage, so the whole distill pass is whole-stage-codegen'd and the
+JVM<->Arrow round-trip over the (large, binary) html column disappears from
+every pipeline lineage. The envelope contract makes this exact: the body
+inside <main>…</main> is `html.escape(text, quote=False)` output, whose only
+entities are &amp;/&lt;/&gt;, and replacing &lt;, &gt; first and &amp; LAST
+is the exact inverse (any literal '&' in the original text became '&amp;',
+so no bare '&lt;'/'&gt;' sequence survives that did not come from '<'/'>').
+`extract_main_text` remains the row-level Python reference implementation
+(equivalence-tested in tests/test_pipeline.py) and the escape hatch for a
+real boilerplate extractor with the same signature. Everything downstream
+never reads `html` again, so Catalyst prunes the binary column out of every
 later scan.
 """
 
@@ -18,9 +25,7 @@ from __future__ import annotations
 
 import html as _htmllib
 import re
-from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame
 
 _MAIN_RE = re.compile(rb"<main>(.*?)</main>", re.DOTALL)
@@ -47,20 +52,32 @@ def extract_main_text(html_bytes: bytes) -> str:
     return _htmllib.unescape(m.group(1).decode("utf-8", errors="replace"))
 
 
+def main_text_col(html_col) -> "F.Column":
+    """Catalyst expression mirror of `extract_main_text`: first <main> body,
+    entities &lt;/&gt;/&amp; unescaped (&amp; LAST — the exact inverse of
+    html.escape, see module docstring), '' for null/unmatched html."""
+    from pyspark.sql import functions as F
+
+    body = F.regexp_extract(
+        F.decode(html_col, "UTF-8"), r"(?s)<main>(.*?)</main>", 1
+    )
+    return F.coalesce(
+        F.replace(
+            F.replace(F.replace(body, F.lit("&lt;"), F.lit("<")),
+                      F.lit("&gt;"), F.lit(">")),
+            F.lit("&amp;"), F.lit("&"),
+        ),
+        F.lit(""),
+    )
+
+
 def distill_pages(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, lang, ...) -> (url, obs_ts, lang, text)."""
+    from pyspark.sql import functions as F
 
-    def _distill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "obs_ts": pdf["warc_ts"],
-                    "lang": pdf["lang"],
-                    "text": [extract_main_text(h) for h in pdf["html"]],
-                }
-            )
-
-    return pages.select("url", "warc_ts", "html", "lang").mapInPandas(
-        _distill, schema=DISTILLED_SCHEMA
+    return pages.select(
+        "url",
+        F.col("warc_ts").alias("obs_ts"),
+        "lang",
+        main_text_col(F.col("html")).alias("text"),
     )

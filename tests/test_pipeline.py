@@ -29,6 +29,42 @@ def test_distill_roundtrip_handles_escaping():
     assert extract_main_text(synth_html(text)) == text
 
 
+def test_distill_catalyst_matches_python_reference(spark):
+    """The Catalyst distill projection must equal the row-level Python
+    reference (extract_main_text) byte-for-byte on adversarial envelope
+    inputs: literal entities in the source text (double-escaped by the
+    envelope), angle brackets, ampersand runs, newlines, unicode, empty
+    body, missing <main>, and NULL html."""
+    texts = [
+        "plain sentence.",
+        'with <angle> & "quotes".',
+        "literal entity &amp; and &lt;tag&gt; in source.",
+        "double &amp;amp; and bare & mix &&& runs.",
+        "&copy; &#65; named and numeric entities stay literal.",
+        "line one\nline two\n\tindented.",
+        "unicode café naïve résumé ☃.",
+        "",
+        "trailing ampersand &",
+        "&lt; leading entity",
+    ]
+    rows = [(i, synth_html(t)) for i, t in enumerate(texts)]
+    rows.append((len(texts), b"<html><body>no main tag</body></html>"))
+    rows.append((len(texts) + 1, None))
+    pages = spark.createDataFrame(rows, "i long, html binary")
+    got = {
+        r["i"]: r["text"]
+        for r in pages.select(
+            "i", __import__("itext2kg_spark.extract.distill",
+                            fromlist=["main_text_col"])
+            .main_text_col(F.col("html")).alias("text")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == extract_main_text(synth_html(t)) == t, (i, got[i])
+    assert got[len(texts)] == ""
+    assert got[len(texts) + 1] == ""
+
+
 def test_fact_split_recovers_sentences(spark):
     page = generate_page(3, seed=42)
     pages = synth_pages(spark, 10, seed=42)
