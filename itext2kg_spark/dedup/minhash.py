@@ -7,60 +7,57 @@ cost. With k=64, b=16 bands of r=4 rows, P(candidate | J=0.8) ≈ 1-(1-0.8^4)^16
 ≈ 0.9997 — so verified output matches exact Jaccard pairs with near-certain
 recall.
 
-The signature computation is the one pandas UDF (Arrow-batched numpy: gram
-hashing + (a*x+b) mod p row-min); banding, bucket join and exact verification
-are DataFrame ops.
+Fully Catalyst, no Python stage: gram hashes are `xxhash64(gram) mod p`
+(p = 2^31-1, so the (a*h+b) mod p permutation products fit in int64), and the
+k row-mins are k codegen'd MIN aggregates over the exploded distinct-gram
+table — ONE hash aggregate keyed on the doc id with map-side partial
+aggregation, so the exchange carries one (id, 64 longs) row per doc per map
+partition. The same materialized gram table then feeds candidate
+verification, so grams are tokenized exactly once per run. (The earlier
+shape was a pandas UDF hashing every gram with blake2b per document — the
+Python boundary plus a second gram tokenization; the hash family is not part
+of the operator's contract, which is 'identical to exact Jaccard whenever
+LSH recall holds' — the DuckDB oracle is the exact-Jaccard SQL.)
+
+Docs with no grams (shorter than n tokens) get no signature; they cannot
+reach any Jaccard threshold in verification either, so the output is
+unchanged by their absence from banding.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
-from itext2kg_spark.dedup.ngram import jaccard_pairs, restricted_filtered_grams
+from itext2kg_spark.dedup.ngram import (
+    _materialize,
+    jaccard_pairs,
+    word_ngrams,
+)
 
-_MERSENNE = (1 << 61) - 1
-
-
-def _gram_hashes(text: str, n: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not grams:
-        return np.zeros(1, dtype=np.uint64)
-    hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
-            for g in set(grams)
-        ),
-        dtype=np.uint64,
-    )
-    return hs
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: products stay within int64
 
 
-def minhash_signatures_udf(k: int = 64, n: int = 3, seed: int = 42):
+def minhash_permutations(k: int = 64, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficient lists for the k permutations
+    h -> (a*h + b) mod p, drawn from the seeded PCG64 stream."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, _P31, size=k, dtype=np.int64)
+    b = rng.integers(0, _P31, size=k, dtype=np.int64)
+    return [int(x) for x in a], [int(x) for x in b]
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts.tolist():
-            hs = _gram_hashes(t or "", n)
-            # (a*h + b) mod p, row-min per permutation — vectorized (k, |grams|)
-            vals = (a[:, None] * (hs[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
 
-    return _sig
+def minhash_signature_cols(k: int, seed: int) -> list[F.Column]:
+    """k MIN-aggregate columns (aliased s0..s{k-1}) over a `__h` gram-hash
+    column — the per-doc minhash signature as a groupBy(id).agg(*cols)."""
+    a, b = minhash_permutations(k, seed)
+    return [
+        F.min(
+            F.pmod(F.col("__h") * F.lit(a[j]) + F.lit(b[j]), F.lit(_P31))
+        ).alias(f"s{j}")
+        for j in range(k)
+    ]
 
 
 def minhash_lsh_pairs(
@@ -81,29 +78,52 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures_udf(k, n, seed)
-    with_sig = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col), sig(F.col(text_col)).alias("sig")
-    ).localCheckpoint(eager=False)  # lazy: plan builders stay side-effect-free
 
-    # band signature = hash of the band's slice + band index
-    banded = with_sig.select(
+    # ONE gram tokenization per run: the distinct-gram table feeds the
+    # signature aggregate, the full-corpus df cutoff AND the candidate
+    # verification join (previously signatures re-tokenized inside a UDF).
+    g0 = _materialize(
+        word_ngrams(docs, n, text_col, id_col), "auto", size_src=docs
+    )
+
+    # lazy checkpoint: the banded table self-joins (x vs y), so an
+    # unmaterialized sig aggregate would execute once per join side
+    sigs = (
+        g0.select(
+            "id", F.pmod(F.xxhash64(F.col("gram")), F.lit(_P31)).alias("__h")
+        )
+        .groupBy("id")
+        .agg(*minhash_signature_cols(k, seed))
+    ).localCheckpoint(eager=False)
+
+    # band signature = xxhash64 over the band's k/bands signature values
+    banded = sigs.select(
         "id",
         F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" bi -> struct(bi as band, xxhash64(slice(sig, bi*{rows}+1, {rows})) as bsig))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"s{j}")
+                              for j in range(bi * rows, (bi + 1) * rows)]
+                        ).alias("bsig"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.bsig")
 
+    # lazy checkpoint: cand feeds three consumers (two id projections + the
+    # final semi-join); without it the bucket join executes per consumer
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bsig"])
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
-    )
+    ).localCheckpoint(eager=False)
 
     # exact verification via the gram equi-join restricted to candidates;
     # the df cutoff counts over the FULL corpus (round-4 advice) with the
@@ -111,11 +131,17 @@ def minhash_lsh_pairs(
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    grams_c = restricted_filtered_grams(
-        docs, cand_ids, n, text_col, id_col, max_gram_df
-    )
+    gc = g0.join(cand_ids, "id", "left_semi")
+    if max_gram_df is not None:
+        keep = (
+            g0.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_gram_df)
+            .select("gram")
+        )
+        gc = gc.join(keep, "gram", "left_semi")
     exact = jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
-        grams=grams_c, max_gram_df=None,
+        grams=gc, max_gram_df=None,
     )
     return exact.join(cand, ["id_a", "id_b"], "left_semi")

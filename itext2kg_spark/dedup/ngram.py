@@ -1,12 +1,17 @@
 """N-gram Jaccard near-dup detection — exact, set-based, no UDFs.
 
 Formulation that scales: explode each document into its distinct word
-n-grams, self-join on the gram (an equi-join, not a cross join), count shared
-grams per pair, and compute |A∩B| / (|A|+|B|-|A∩B|). Pair candidates only
-materialize for documents that actually share a gram, so the cost tracks true
-near-duplicate density, not n^2. Hot grams (boilerplate) can explode pair
-counts at web scale — callers should drop grams with document frequency above
-a cutoff (`max_gram_df`) exactly like stopword removal in MinHash pipelines.
+n-grams, group by gram into a sorted id list (ONE exchange — the list's size
+is the gram's document frequency, so the hot-gram cutoff is a filter in the
+same pass), expand each list's i<j combinations inline, and count shared
+grams per (id_a, id_b) to compute |A∩B| / (|A|+|B|-|A∩B|). Pair candidates
+only materialize for documents that actually share a gram, so the cost
+tracks true near-duplicate density, not n^2; the gram strings themselves
+never cross a second exchange (only ids do). Hot grams (boilerplate) can
+explode pair counts at web scale — callers should drop grams with document
+frequency above a cutoff (`max_gram_df`) exactly like stopword removal in
+MinHash pipelines; the cutoff also bounds the per-gram inline expansion at
+max_gram_df*(max_gram_df-1)/2 struct rows.
 """
 
 from __future__ import annotations
@@ -127,18 +132,21 @@ def restricted_filtered_grams(
 def word_ngrams(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, gram) — distinct word n-grams per document."""
+    """(id, gram) — distinct word n-grams per document.
+
+    Per-document dedup happens INSIDE the row (array_distinct over the gram
+    array) rather than as a global .distinct(): (id, gram) distinctness is a
+    per-document property, so the table needs NO exchange at all — it is a
+    narrow projection off the doc scan (guide §2.4: remove shuffles
+    outright)."""
     d = docs.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
     grams = F.expr(
         f"CASE WHEN size(__toks) >= {n} THEN"
-        f" transform(sequence(0, size(__toks) - {n}),"
-        f"  i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+        f" array_distinct(transform(sequence(0, size(__toks) - {n}),"
+        f"  i -> concat_ws(' ', slice(__toks, i + 1, {n}))))"
         f" ELSE array() END"
     )
-    return (
-        d.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
-        .distinct()
-    )
+    return d.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
 
 
 def jaccard_pairs(
@@ -163,26 +171,43 @@ def jaccard_pairs(
     When `grams` is supplied (candidate-verification paths), `max_gram_df`
     counts df over THAT table — pass a full-corpus-filtered table (see
     restricted_filtered_grams) and max_gram_df=None to keep output identical
-    to the unrestricted run. `materialize` controls the gram-table
-    materialization strategy (see _materialize; "auto" size-guards between
-    executor-local checkpoint and fault-tolerant DISK_ONLY persist)."""
-    if grams is not None:
-        g = grams
-        if max_gram_df is not None:
-            df_counts = g.groupBy("gram").agg(F.count("*").alias("__df"))
-            g = g.join(
-                df_counts.where(F.col("__df") <= max_gram_df), "gram"
-            ).drop("__df")
-    else:
-        g = df_filtered_grams(docs, n, text_col, id_col, max_gram_df)
-    g = _materialize(g, materialize, size_src=docs)
-    sizes = g.groupBy("id").agg(F.count("*").alias("n_grams"))
-
-    a = g.select(F.col("id").alias("id_a"), "gram")
-    b = g.select(F.col("id").alias("id_b"), "gram")
+    to the unrestricted run. `materialize` controls the materialization of
+    the grouped per-gram id-list table, which feeds both the sizes and the
+    pair-expansion branches (see _materialize; "auto" size-guards between
+    executor-local checkpoint and fault-tolerant DISK_ONLY persist).
+    max_gram_df=None (exact-parity runs) removes the bound on the inline
+    per-gram pair expansion — at web scale always keep a cutoff."""
+    g = grams if grams is not None else word_ngrams(docs, n, text_col, id_col)
+    # ONE groupBy on the gram replaces the old df-count + join + self-join
+    # shape (three exchanges of (id, gram) rows, the gram string shuffled on
+    # both sides of the join): the sorted per-gram id list IS the document
+    # frequency (the cutoff becomes a size() filter in the same pass), pair
+    # candidates expand from it inline (i < j over an ascending list, so
+    # id_a < id_b by construction), and the gram string is dropped before
+    # anything is materialized — strictly fewer exchanges, and the bytes
+    # that do shuffle are ids, not grams (guide §2.3/§2.4).
+    by_gram = g.groupBy("gram").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    if max_gram_df is not None:
+        by_gram = by_gram.where(F.size("ids") <= max_gram_df)
+    by_gram = _materialize(
+        by_gram.select("ids"), materialize, size_src=docs
+    )
+    sizes = (
+        by_gram.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    # i<j combinations via two codegen'd Generates (posexplode + explode of
+    # the ascending-suffix slice) — measured ~2x faster than building the
+    # pair structs with interpreted higher-order transform lambdas
     shared = (
-        a.join(b, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        by_gram.select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )
