@@ -44,9 +44,57 @@ def _simhash(text: str) -> int:
     return int.from_bytes(sig, "little", signed=True)
 
 
+# token -> (64,) ±1 bit row, shared across batches AND (via Python worker
+# reuse — this module is importable on executors) across tasks: real corpora
+# share most of their vocabulary between documents, so md5+unpackbits runs
+# once per distinct token per worker instead of once per (doc, token)
+# (guide §4.5). Bounded so a pathological vocabulary cannot grow worker RSS.
+_BITS_CACHE: dict[str, np.ndarray] = {}
+_BITS_CACHE_MAX = 1 << 20
+
+
+def _token_bits(tok: str) -> np.ndarray:
+    b = _BITS_CACHE.get(tok)
+    if b is None:
+        digest = hashlib.md5(tok.encode()).digest()[:8]
+        b = (
+            np.unpackbits(
+                np.frombuffer(digest, dtype=np.uint8), bitorder="little"
+            ).astype(np.int64)
+            * 2
+            - 1
+        )
+        if len(_BITS_CACHE) < _BITS_CACHE_MAX:
+            _BITS_CACHE[tok] = b
+    return b
+
+
+def _simhash_batch(texts: list) -> np.ndarray:
+    """Vectorized batch twin of `_simhash` (value-parity tested): per doc,
+    one (distinct_tokens, 64) matrix of cached bit rows and one counts @
+    bits matmul instead of a per-token Python accumulation loop."""
+    from collections import Counter
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for r, text in enumerate(texts):
+        toks = (text or "").split()
+        if not toks:
+            continue
+        cnt = Counter(toks)
+        mat = np.empty((len(cnt), 64), dtype=np.int64)
+        counts = np.empty(len(cnt), dtype=np.int64)
+        for i, (tok, c) in enumerate(cnt.items()):
+            mat[i] = _token_bits(tok)
+            counts[i] = c
+        acc = counts @ mat
+        sig = np.packbits((acc > 0).astype(np.uint8), bitorder="little").tobytes()
+        out[r] = int.from_bytes(sig, "little", signed=True)
+    return out
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return pd.Series([_simhash(t) for t in texts.tolist()])
+    return pd.Series(_simhash_batch(texts.tolist()))
 
 
 def simhash_pairs(

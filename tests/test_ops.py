@@ -352,6 +352,26 @@ def test_simhash_verified_equals_ngram_truth(spark, docs):
     assert got == truth and len(truth) > 0
 
 
+def test_simhash_batch_matches_reference():
+    """The vectorized batch kernel (cached token bits + counts@bits matmul)
+    must equal the per-doc reference `_simhash` value-for-value — incl.
+    repeated tokens, unicode, empty/whitespace text, and cache reuse across
+    two calls."""
+    from itext2kg_spark.dedup.simhash import _simhash, _simhash_batch
+
+    texts = [
+        "the quick brown fox the quick",
+        "completely different content here",
+        "x",
+        "",
+        "   ",
+        "café naïve résumé café",
+        "a b c d e f g h i j k l m n o p",
+    ]
+    for _ in range(2):  # second pass exercises the warm cache path
+        assert list(_simhash_batch(texts)) == [_simhash(t) for t in texts]
+
+
 def test_simhash_signature_sql_parity():
     """The md5 bit-source contract behind the dedup_simhash oracle:
     DuckDB's md5_number_upper(tok) IS int.from_bytes(md5(tok)[:8],'little'),
