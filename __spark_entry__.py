@@ -98,7 +98,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = pages_from_documents(docs)
     pipe = KGPipeline(ATOM)
     q = pipe.token_quintuples_from_pages(pages)
-    _, edges = canonicalize_kg(q, ATOM, HashEmbedder())
+    _, edges = canonicalize_kg(q, ATOM, HashEmbedder(), temporal_empty=True)
     return edges.select(
         "src_name",
         "src_label",
@@ -1471,7 +1471,7 @@ def _q_kg_build_graph(spark, sf_dir):  # rows-only: full similarity-merge path
     pages = pages_from_documents(_docs(spark, sf_dir))
     pipe = KGPipeline(ATOM)
     q = pipe.token_quintuples_from_pages(pages)
-    _, edges = canonicalize_kg(q, ATOM, HashEmbedder())
+    _, edges = canonicalize_kg(q, ATOM, HashEmbedder(), temporal_empty=True)
     return edges.select(
         "src_name", "src_label", "pred", "dst_name", "dst_label",
         F.size("t_obs").alias("n_obs"),
@@ -1570,7 +1570,7 @@ def _q_kg_merge_eval(spark, sf_dir):
     ).localCheckpoint()
     n_quint = q.count()
     cfg = replace(ATOM, match=replace(ATOM.match, ent_threshold=2.0, rel_threshold=2.0))
-    entities, edges = canonicalize_kg(q, cfg, _OneHotEmbedder())
+    entities, edges = canonicalize_kg(q, cfg, _OneHotEmbedder(), temporal_empty=True)
     return er_rr_precision(
         entities,
         edges,
@@ -1846,7 +1846,7 @@ def _q_kg_build_graph_exact(spark, sf_dir):
     pages = pages_from_documents(_docs(spark, sf_dir))
     pipe = KGPipeline(cfg)
     q = pipe.token_quintuples_from_pages(pages)
-    _, edges = canonicalize_kg(q, cfg, HashEmbedder())
+    _, edges = canonicalize_kg(q, cfg, HashEmbedder(), temporal_empty=True)
     return edges.select(
         "src_name", "src_label", "pred", "dst_name", "dst_label",
         F.size("t_obs").cast("long").alias("n_obs"),

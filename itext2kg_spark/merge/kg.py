@@ -172,6 +172,7 @@ def canonicalize_kg(
     existing_entities: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
     existing_edges_merge: str = "union",
+    temporal_empty: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """quintuples(url, obs_ts, fact, subj_*, pred, obj_*, t_start, t_end)
     -> (entities, edges) canonical DataFrames.
@@ -330,7 +331,19 @@ def canonicalize_kg(
     #    branch, so the single-pass row-gated variant is used instead (one
     #    scan; fast arrays materialized as columns so the per-element
     #    try_to_timestamp sweep runs once per row, not per consumer).
-    if cfg.materialize_quintuples:
+    #  * temporal_empty mode — the caller asserts every t_start/t_end array
+    #    is empty BY CONSTRUCTION (the token extractor emits literal empty
+    #    arrays; parsing an empty array is an empty array), so the parse
+    #    collapses to typed empty literals: no clean/dirty union, no second
+    #    checkpoint scan, and — decisively — no ArrowEvalPython fallback
+    #    stage spinning up Python workers for a branch that is provably
+    #    rowless (measured ~0.5s of the token-path count at sf0.1).
+    if temporal_empty:
+        empty_d = F.array().cast("array<double>")
+        q_parsed = q.withColumn("t_start", empty_d).withColumn(
+            "t_end", empty_d
+        )
+    elif cfg.materialize_quintuples:
         q_parsed = parse_timestamp_array_columns(q, ["t_start", "t_end"])
     else:
         q_parsed = parse_timestamp_array_inline(q, ["t_start", "t_end"])

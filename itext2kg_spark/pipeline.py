@@ -199,6 +199,9 @@ class KGPipeline:
             existing_entities=existing_entities,
             existing_edges=existing_edges,
             existing_edges_merge=existing_edges_merge,
+            # the token extractor emits literal empty temporal arrays, so
+            # the timestamp parse collapses to typed empty literals
+            temporal_empty=self.extraction == "token",
         )
 
     # -- incremental batches with checkpoint/resume ----------------------------
