@@ -195,8 +195,30 @@ def canonicalize_kg(
     # (the reference likewise materializes extraction output before merging).
     # cfg.materialize_quintuples=False skips the barrier for cheap extractors.
     q = _normalize_quintuples(quintuples, cfg.mode)
+    ent_hint = pred_hint = None
     if cfg.materialize_quintuples:
-        q = q.localCheckpoint()
+        if existing_entities is None and existing_edges is None:
+            # Materialize via the SAME job that gathers cardinality hints:
+            # one tiny agg over the lazily-checkpointed table (first compute
+            # materializes it) yields approximate distinct-entity/predicate
+            # counts, letting both resolutions skip their path-decision
+            # count job and collect directly (see resolve_items
+            # n_items_hint — approximation only picks between
+            # output-equivalent physical paths).
+            q = q.localCheckpoint(eager=False)
+            st = q.agg(
+                F.approx_count_distinct(
+                    F.struct("subj_name", "subj_label")
+                ).alias("ns"),
+                F.approx_count_distinct(
+                    F.struct("obj_name", "obj_label")
+                ).alias("no"),
+                F.approx_count_distinct("pred").alias("np"),
+            ).first()
+            ent_hint = int(st["ns"]) + int(st["no"])
+            pred_hint = int(st["np"])
+        else:
+            q = q.localCheckpoint()
 
     def _resolve_entities():
         ents = _entity_mentions(q).withColumn("is_existing", F.lit(False))
@@ -249,6 +271,7 @@ def canonicalize_kg(
             emb_col="emb",
             order_col="first_seen",
             emb_dim=cfg.embed.dim,
+            n_items_hint=ent_hint,
         )
 
     def _resolve_predicates():
@@ -286,6 +309,7 @@ def canonicalize_kg(
             emb_col="emb",
             order_col="first_seen",
             emb_dim=cfg.embed.dim,
+            n_items_hint=pred_hint,
         )
 
     # Entity and predicate resolution are independent chains of small jobs

@@ -267,6 +267,7 @@ def resolve_items(
     n_items: int | None = None,
     order_col: str | None = None,
     emb_dim: int | None = None,
+    n_items_hint: int | None = None,
 ) -> DataFrame:
     """items(key_cols..., emb [, is_existing][, exact_hit][, order_col]) ->
     items + (comp, is_rep) + canonical keys `canon_<key>`.
@@ -282,6 +283,13 @@ def resolve_items(
         excluded from the cosine pool entirely (matcher.py:53-63).
     `emb_dim` (vector width) byte-bounds the driver-collect path — without it
     the limit is row-count-only.
+    `n_items_hint` — an approximate cardinality from the caller (e.g. one
+    approx_count_distinct agg over an already-materialized mention table).
+    When the hint sits clearly under the limit the decision count job is
+    skipped and the driver path collects directly; the hint only ever picks
+    between the two output-equivalent physical paths, so a few percent of
+    estimator error cannot change results — at worst the collect carries a
+    few percent more rows than the byte budget assumed.
     """
     has_existing = "is_existing" in items.columns
     has_exact_hit = "exact_hit" in items.columns
@@ -304,7 +312,14 @@ def resolve_items(
         # plain collect on a bench-scale entity table; two cheap jobs beat
         # one slow pseudo-job. The count stays O(distinct items) at any
         # scale and keys the distributed path off the exact cardinality.
-        n_items = items.count()
+        if (
+            n_items_hint is not None
+            and n_items_hint * 1.2 + 100 <= limit
+        ):
+            rows = items.collect()
+            n_items = len(rows)
+        else:
+            n_items = items.count()
 
     if n_items <= limit:
         if rows is None:
