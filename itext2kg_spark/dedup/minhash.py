@@ -115,14 +115,22 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("id", "bs.band", "bs.bsig")
 
-    # lazy checkpoint: cand feeds three consumers (two id projections + the
-    # final semi-join); without it the bucket join executes per consumer
+    # Candidate pairs via ONE groupBy on the bucket key + inline i<j
+    # expansion (same shape as jaccard_pairs' per-gram expansion) instead of
+    # a bucket self-join + distinct: one exchange replaces join-plus-distinct
+    # exchanges. cand is NOT deduped across bands — the verify step's
+    # left_semi joins are duplicate-tolerant and cand_ids dedups below, so
+    # the distinct would be a pure extra exchange. Lazy checkpoint: cand
+    # feeds three consumers.
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bsig"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+        banded.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+        )
     ).localCheckpoint(eager=False)
 
     # exact verification via the gram equi-join restricted to candidates;
