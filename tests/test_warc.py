@@ -108,3 +108,15 @@ def test_read_warc_gz_member_per_record(spark, tmp_path):
                 f.write(gzip.compress(rec.encode()))
     got = {r["url"]: r["body"] for r in read_warc_gz(spark, p).collect()}
     assert got == {f"doc://{i}": t for i, t in DOCS}
+
+    # scale contract (r6 verdict #1): the gunzip stage emits ONE ROW PER
+    # MEMBER, never one concatenated row per file — per-row memory is one
+    # record even when a shard holds millions of members
+    from itext2kg_spark.sources.warc import gunzip_warc_members
+
+    members = gunzip_warc_members(spark, p).collect()
+    assert len(members) == sum(
+        1 for payload in payloads
+        for r in payload.split("WARC/1.0\r\n") if r
+    )
+    assert all(m["payload"].startswith("WARC/1.0\r\n") for m in members)
