@@ -139,7 +139,11 @@ def word_ngrams(
     per-document property, so the table needs NO exchange at all — it is a
     narrow projection off the doc scan (guide §2.4: remove shuffles
     outright)."""
-    d = docs.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    from itext2kg_spark.functions.partitioning import ensure_scan_parallelism
+
+    d = ensure_scan_parallelism(docs).withColumn(
+        "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
     grams = F.expr(
         f"CASE WHEN size(__toks) >= {n} THEN"
         f" array_distinct(transform(sequence(0, size(__toks) - {n}),"

@@ -105,8 +105,11 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs with Hamming(simhash) <= max_hamming."""
+    from itext2kg_spark.functions.partitioning import ensure_scan_parallelism
+
     assert 64 % bands == 0 and max_hamming < bands
     width = 64 // bands
+    docs = ensure_scan_parallelism(docs)  # signature kernel is per-row CPU
     sigs = docs.select(
         F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig")
     ).localCheckpoint(eager=False)  # lazy: plan builders stay side-effect-free

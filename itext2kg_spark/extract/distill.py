@@ -75,6 +75,12 @@ def distill_pages(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, lang, ...) -> (url, obs_ts, lang, text)."""
     from pyspark.sql import functions as F
 
+    from itext2kg_spark.functions.partitioning import ensure_scan_parallelism
+
+    # the stages chained on distill (sentence split, extraction, normalize)
+    # are narrow off the page scan — floor the scan parallelism so a small
+    # single-row-group pages table does not serialize them on one core
+    pages = ensure_scan_parallelism(pages)
     return pages.select(
         "url",
         F.col("warc_ts").alias("obs_ts"),
