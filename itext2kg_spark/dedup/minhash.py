@@ -86,15 +86,15 @@ def minhash_lsh_pairs(
         word_ngrams(docs, n, text_col, id_col), "auto", size_src=docs
     )
 
-    # lazy checkpoint: the banded table self-joins (x vs y), so an
-    # unmaterialized sig aggregate would execute once per join side
+    # no checkpoint: since candidates come from a bucket groupBy (below)
+    # rather than a self-join, the sig aggregate has exactly one consumer
     sigs = (
         g0.select(
             "id", F.pmod(F.xxhash64(F.col("gram")), F.lit(_P31)).alias("__h")
         )
         .groupBy("id")
         .agg(*minhash_signature_cols(k, seed))
-    ).localCheckpoint(eager=False)
+    )
 
     # band signature = xxhash64 over the band's k/bands signature values
     banded = sigs.select(
