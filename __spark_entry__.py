@@ -1225,7 +1225,16 @@ def _q_sessions_stream_exact(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # r6 advice: a False return means the timeout elapsed with the stream
+    # still running — proceeding would rmtree the live source dir and
+    # return a partial (oracle-red) result. Fail loudly instead; on this
+    # host's contended windows one generous retry beats a flaky row.
+    if not q.awaitTermination(300):
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sessions_stream_exact: availableNow stream did not finish"
+            )
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)  # result already collected
