@@ -1024,7 +1024,7 @@ def _q_web_html_text(spark, sf_dir):
 
 def _q_warc_roundtrip(spark, sf_dir):
     # WARC source round trip: documents -> grouped CRLF WARC payloads
-    # (50 records each) -> Catalyst record parser (regexp headers,
+    # (50 payloads, ~n/50 records each) -> Catalyst record parser (regexp headers,
     # Content-Length body slice). Identity, so the oracle is the
     # documents table. sources/warc.py
     from itext2kg_spark.sources.warc import parse_warc_records, synth_warc

@@ -60,8 +60,12 @@ def parse_sitemap(
 
 def canonicalize_url(url: Column) -> Column:
     """The frontier dedup key: scheme+host lowercased, default port
-    stripped, fragment dropped, duplicate path slashes collapsed, root
-    trailing slash normalized, query params sorted."""
+    stripped, fragment dropped (RFC-3986-safe normalizations), plus two
+    crawl-dedup heuristics BEYOND the RFC-safe set — duplicate path
+    slashes collapsed and query params byte-sorted ('//a' vs '/a' and
+    order-sensitive query handlers can in principle differ); right for a
+    frontier key, not a general-purpose URL rewriter. Root trailing slash
+    normalized."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.lower(

@@ -44,7 +44,8 @@ def synth_warc(
     text_col: str = "text",
 ) -> DataFrame:
     """(warc_id, payload) — documents wrapped as WARC response records,
-    `group` records per payload in doc-id order. Pure Catalyst."""
+    spread across `group` payloads (warc_id = doc_id % group, so each
+    payload holds ~n/group records in doc-id order). Pure Catalyst."""
     rec = F.concat(
         F.lit(RECORD_DELIM),
         F.lit("WARC-Type: response\r\n"),
