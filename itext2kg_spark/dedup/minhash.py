@@ -120,25 +120,26 @@ def minhash_lsh_pairs(
     # a bucket self-join + distinct: one exchange replaces join-plus-distinct
     # exchanges. cand is NOT deduped across bands — the verify step's
     # left_semi joins are duplicate-tolerant and cand_ids dedups below, so
-    # the distinct would be a pure extra exchange. Lazy checkpoint: cand
-    # feeds three consumers.
-    cand = (
+    # the distinct would be a pure extra exchange. The (small) collided
+    # BUCKETS table is what checkpoints: both the pair expansion and the
+    # candidate-id set derive from it with one narrow pass each.
+    buckets = (
         banded.groupBy("band", "bsig")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") > 1)
-        .select("ids", F.posexplode("ids").alias("i", "id_a"))
-        .select(
-            "id_a",
-            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
-        )
+        .select("ids")
     ).localCheckpoint(eager=False)
+    cand = buckets.select(
+        "ids", F.posexplode("ids").alias("i", "id_a")
+    ).select(
+        "id_a",
+        F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+    )
 
     # exact verification via the gram equi-join restricted to candidates;
     # the df cutoff counts over the FULL corpus (round-4 advice) with the
     # restriction applied first so join cost stays candidate-proportional
-    cand_ids = cand.select(F.col("id_a").alias("id")).union(
-        cand.select(F.col("id_b").alias("id"))
-    ).distinct()
+    cand_ids = buckets.select(F.explode("ids").alias("id")).distinct()
     gc = g0.join(cand_ids, "id", "left_semi")
     if max_gram_df is not None:
         keep = (
