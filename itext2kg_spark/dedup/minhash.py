@@ -119,7 +119,7 @@ def minhash_lsh_pairs(
     # expansion (same shape as jaccard_pairs' per-gram expansion) instead of
     # a bucket self-join + distinct: one exchange replaces join-plus-distinct
     # exchanges. cand is NOT deduped across bands — the verify step's
-    # left_semi joins are duplicate-tolerant and cand_ids dedups below, so
+    # left_semi joins are duplicate-tolerant, so
     # the distinct would be a pure extra exchange. The (small) collided
     # BUCKETS table is what checkpoints: both the pair expansion and the
     # candidate-id set derive from it with one narrow pass each.
@@ -138,17 +138,18 @@ def minhash_lsh_pairs(
 
     # exact verification via the gram equi-join restricted to candidates;
     # the df cutoff counts over the FULL corpus (round-4 advice) with the
-    # restriction applied first so join cost stays candidate-proportional
-    cand_ids = buckets.select(F.explode("ids").alias("id")).distinct()
+    # restriction applied first so join cost stays candidate-proportional.
+    # cand_ids is NOT deduped: it only feeds the left_semi build side, whose
+    # hash relation dedups inherently — a .distinct() would add a full
+    # exchange to save at most bands× duplicate ids from the (cheaper) join
+    # build. The hot-gram cutoff is a left_anti join against the small HOT
+    # set rather than a semi join against the huge KEEP set (drop_hot_grams).
+    from itext2kg_spark.dedup.ngram import drop_hot_grams
+
+    cand_ids = buckets.select(F.explode("ids").alias("id"))
     gc = g0.join(cand_ids, "id", "left_semi")
     if max_gram_df is not None:
-        keep = (
-            g0.groupBy("gram")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_gram_df)
-            .select("gram")
-        )
-        gc = gc.join(keep, "gram", "left_semi")
+        gc = drop_hot_grams(gc, g0, max_gram_df)
     exact = jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
         grams=gc, max_gram_df=None,

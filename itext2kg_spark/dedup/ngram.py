@@ -73,6 +73,26 @@ def _auto_strategy(size_src: DataFrame) -> str:
     return "local" if est <= GRAM_LOCAL_CKPT_MAX_BYTES else "persist"
 
 
+def drop_hot_grams(
+    g: DataFrame, df_src: DataFrame, max_gram_df: int
+) -> DataFrame:
+    """Drop grams whose `df_src`-corpus document frequency EXCEEDS the
+    cutoff, as a left_anti join against the HOT gram set. Semantically
+    identical to the older inner/semi join against the KEEP set (every gram
+    of `g` appears in `df_src`'s df count, so keep == not-hot), but the join
+    build side inverts: keep is nearly the whole vocabulary (forcing a large
+    shuffled join on the gram string), while hot — grams above the cutoff —
+    is the small boilerplate tail by construction, which AQE broadcasts.
+    Guide §3.1/§3.2: shuffle the small set, not its complement."""
+    hot = (
+        df_src.groupBy("gram")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_gram_df)
+        .select("gram")
+    )
+    return g.join(hot, "gram", "left_anti")
+
+
 def df_filtered_grams(
     docs: DataFrame,
     n: int = 3,
@@ -92,8 +112,7 @@ def df_filtered_grams(
     max_gram_df=None)`."""
     g = word_ngrams(docs, n, text_col, id_col)
     if max_gram_df is not None:
-        df_counts = g.groupBy("gram").agg(F.count("*").alias("__df"))
-        g = g.join(df_counts.where(F.col("__df") <= max_gram_df), "gram").drop("__df")
+        g = drop_hot_grams(g, g, max_gram_df)
     return g
 
 
@@ -119,13 +138,7 @@ def restricted_filtered_grams(
     )
     gc = g0.join(cand_ids, "id", "left_semi")
     if max_gram_df is not None:
-        keep = (
-            g0.groupBy("gram")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_gram_df)
-            .select("gram")
-        )
-        gc = gc.join(keep, "gram", "left_semi")
+        gc = drop_hot_grams(gc, g0, max_gram_df)
     return gc
 
 

@@ -175,10 +175,12 @@ def simhash_verified_pairs(
     cand = simhash_pairs(docs, max_hamming, bands, text_col, id_col).select(
         "id_a", "id_b"
     ).localCheckpoint(eager=False)
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
-        .distinct()
+    # no .distinct(): cand_ids only feeds restricted_filtered_grams'
+    # left_semi build side, whose hash relation dedups inherently — the
+    # distinct would add a full exchange of the candidate ids to save
+    # nothing (same argument as minhash_lsh_pairs' cand_ids)
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
     )
     # df cutoff counts over the FULL corpus (round-4 advice: candidate-local
     # df kept boilerplate grams that plain jaccard_pairs drops); the
