@@ -36,6 +36,40 @@ _FAST_FORMATS = [
     "d MMMM yyyy",
 ]
 
+# string -> epoch-or-None memo for the dateutil fallback. Real corpora repeat
+# a small set of date surface forms across millions of mentions, so dateutil
+# (~30-50us per parse) should run once per DISTINCT string per worker, not
+# once per element — the same worker-lifetime bounded-cache pattern as the
+# simhash token cache (guide §4.5: heavyweight per-item work once). Results
+# for a given string are identical with or without the memo (dateutil parse
+# of a fully-specified string is deterministic); the bound caps worker memory
+# on adversarial corpora with unbounded distinct strings.
+_DATEUTIL_CACHE: dict[str, float | None] = {}
+_DATEUTIL_CACHE_MAX = 1 << 20
+
+
+def _dateutil_epoch_one(v) -> float | None:
+    """dateutil-parse one string to epoch seconds (None on failure), memoized."""
+    from datetime import timezone
+
+    from dateutil import parser as dparser
+
+    key = str(v)
+    try:
+        return _DATEUTIL_CACHE[key]
+    except KeyError:
+        pass
+    try:
+        dt = dparser.parse(key)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        out = dt.timestamp()
+    except Exception:  # noqa: BLE001 — reference skips unparseable strings
+        out = None
+    if len(_DATEUTIL_CACHE) < _DATEUTIL_CACHE_MAX:
+        _DATEUTIL_CACHE[key] = out
+    return out
+
 
 def _fast_parse(col: Column) -> Column:
     return F.coalesce(*[F.try_to_timestamp(col, F.lit(fmt)) for fmt in _FAST_FORMATS])
@@ -43,20 +77,10 @@ def _fast_parse(col: Column) -> Column:
 
 @F.pandas_udf(DoubleType())
 def _dateutil_epoch(s: pd.Series) -> pd.Series:
-    from datetime import timezone
-
-    from dateutil import parser as dparser
-
     def one(v):
         if v is None:
             return None
-        try:
-            dt = dparser.parse(str(v))
-        except Exception:
-            return None
-        if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
-        return dt.timestamp()
+        return _dateutil_epoch_one(v)
 
     return s.map(one)
 
@@ -78,9 +102,6 @@ def _dateutil_epoch_array(strs: pd.Series, fast: pd.Series) -> pd.Series:
     """Per row: keep the Catalyst fast-parse where it hit, dateutil the
     misses, drop elements neither can parse (reference skip-on-error).
     Only rows the caller gated (fast-path miss present) arrive non-null."""
-    from datetime import timezone
-
-    from dateutil import parser as dparser
 
     def one(pair):
         ss, ff = pair
@@ -94,13 +115,9 @@ def _dateutil_epoch_array(strs: pd.Series, fast: pd.Series) -> pd.Series:
                 continue
             if s is None:
                 continue
-            try:
-                dt = dparser.parse(str(s))
-            except Exception:
-                continue
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=timezone.utc)
-            out.append(dt.timestamp())
+            v = _dateutil_epoch_one(s)
+            if v is not None:
+                out.append(v)
         return out
 
     return pd.Series(map(one, zip(strs, fast)))
