@@ -72,7 +72,35 @@ def _dateutil_epoch_one(v) -> float | None:
 
 
 def _fast_parse(col: Column) -> Column:
-    return F.coalesce(*[F.try_to_timestamp(col, F.lit(fmt)) for fmt in _FAST_FORMATS])
+    """Catalyst replication of dateutil for the common layouts, as a
+    lazily-evaluated coalesce (later branches only run where earlier ones
+    returned null, so clean ISO elements never pay for the exotic tries).
+
+    The two appended families move the frequent dateutil-only surface forms
+    into the JVM — they are APPENDED so every string the original list
+    accepted parses exactly as before, and anything they newly accept is
+    proven to parse identically to dateutil (exhaustive parity test over
+    all aa.bb.yyyy numeric triples and all month/day ordinal forms,
+    tests/test_timeparse.py):
+      * dotted numeric triples — month-first then day-first, which IS
+        dateutil's dayfirst=False disambiguation (swap only when the first
+        number cannot be a month);
+      * ordinal day suffixes ("July 17th, 2025") — st/nd/rd/th after a
+        digit are jump tokens dateutil skips wholesale, so stripping them
+        and parsing the month-name layouts is equivalent. Anything else
+        (spaced suffixes, lowercase months, 2-digit years) still falls
+        through to the dateutil fallback unchanged."""
+    tries = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in _FAST_FORMATS]
+    tries += [
+        F.try_to_timestamp(col, F.lit("MM.dd.yyyy")),
+        F.try_to_timestamp(col, F.lit("dd.MM.yyyy")),
+    ]
+    stripped = F.regexp_replace(col, r"(?<=\d)(st|nd|rd|th)\b", "")
+    tries += [
+        F.try_to_timestamp(stripped, F.lit(fmt))
+        for fmt in ("MMMM d yyyy", "MMMM d, yyyy", "d MMMM yyyy")
+    ]
+    return F.coalesce(*tries)
 
 
 @F.pandas_udf(DoubleType())

@@ -75,7 +75,10 @@ def test_array_parse_fuzzy_matches_dateutil(spark):
 
 
 def test_array_parse_no_fallback_flag(spark):
-    df = spark.createDataFrame([(["July 17th, 2025", "2025-01-01"],)], ["a"])
+    # "1st of May 2020" stays dateutil-only (the ordinal fast format covers
+    # attached suffixes, not "of"-joined forms), so with the fallback off it
+    # must be dropped while the fast-path element survives
+    df = spark.createDataFrame([(["1st of May 2020", "2025-01-01"],)], ["a"])
     row = df.select(
         parse_timestamp_array(F.col("a"), use_dateutil_fallback=False).alias("p")
     ).collect()[0]
@@ -127,3 +130,50 @@ def test_array_inline_variant_matches_expression_form(spark):
         ).collect()
     }
     assert nf == nf_exp
+
+
+def test_fast_path_extensions_match_dateutil_exhaustively(spark):
+    """The dotted-triple and ordinal-suffix fast formats (appended to
+    _fast_parse so they only see strings the original list rejected) must
+    agree with dateutil on EVERY string: exhaustive over all aa.bb.yyyy
+    numeric triples and all month/day ordinal layouts, plus adversarial
+    near-misses that must keep falling through to the (identical) dateutil
+    fallback."""
+    import itertools
+
+    months = [
+        "January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December",
+    ]
+    cases = []
+    for a, b in itertools.product(range(0, 32), repeat=2):
+        cases += [f"{a:02d}.{b:02d}.2025", f"{a}.{b}.2025"]
+    for mon in months:
+        for day in (1, 2, 3, 4, 11, 13, 21, 22, 23, 30, 31):
+            suf = (
+                "th"
+                if 10 <= day % 100 <= 20
+                else {1: "st", 2: "nd", 3: "rd"}.get(day % 10, "th")
+            )
+            cases += [
+                f"{mon} {day}{suf}, 2025",
+                f"{mon} {day}{suf} 2025",
+                f"{day}{suf} {mon} 2025",
+                f"{mon} {day}th, 2025",
+                f"{mon.lower()} {day}{suf}, 2025",
+            ]
+    cases += [
+        "1st of May 2020", "2024-01-03rd", "31.04.2025", "00.00.2025",
+        "13.13.2025", "12.31.99", "05.07.25", "July 17 th, 2025",
+        "July 17th", "17th July", "1.2.3", "10.10.10.10",
+        "August 1st, 2024 12:30:00",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = {
+        r["s"]: r["e"]
+        for r in df.select(
+            "s", parse_timestamp_expr(F.col("s")).alias("e")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == _dateutil_utc(c), f"{c!r}: {got[c]} != {_dateutil_utc(c)}"
