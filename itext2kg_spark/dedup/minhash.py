@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from itext2kg_spark.dedup.ngram import (
     _materialize,
+    drop_hot_grams,
     jaccard_pairs,
     word_ngrams,
 )
@@ -144,8 +145,6 @@ def minhash_lsh_pairs(
     # exchange to save at most bands× duplicate ids from the (cheaper) join
     # build. The hot-gram cutoff is a left_anti join against the small HOT
     # set rather than a semi join against the huge KEEP set (drop_hot_grams).
-    from itext2kg_spark.dedup.ngram import drop_hot_grams
-
     cand_ids = buckets.select(F.explode("ids").alias("id"))
     gc = g0.join(cand_ids, "id", "left_semi")
     if max_gram_df is not None:
