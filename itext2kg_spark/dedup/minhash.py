@@ -1,11 +1,13 @@
 """MinHash + LSH near-dup detection: shingle -> minhash -> band -> bucket join.
 
 The scale path for n-gram Jaccard: signatures are fixed-size (k hashes) per
-document regardless of length, candidate generation is an equi-join on
-(band, band_signature) buckets, and only candidates pay the exact-verify
-cost. With k=64, b=16 bands of r=4 rows, P(candidate | J=0.8) ≈ 1-(1-0.8^4)^16
-≈ 0.9997 — so verified output matches exact Jaccard pairs with near-certain
-recall.
+document regardless of length, candidate DOCS are the members of collided
+(band, band_signature) buckets (one groupBy — no bucket self-join, no pair
+expansion), and only candidates pay the exact-verify cost. With k=64, b=16
+bands of r=4 rows, P(candidate | J=0.8) ≈ 1-(1-0.8^4)^16 ≈ 0.9997 per PAIR —
+and id-level recall (either endpoint collides with ANY near-dup partner) is
+weaker still, so verified output matches exact Jaccard pairs with
+near-certain recall.
 
 Fully Catalyst, no Python stage: gram hashes are `xxhash64(gram) mod p`
 (p = 2^31-1, so the (a*h+b) mod p permutation products fit in int64), and the
@@ -116,41 +118,38 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select("id", "bs.band", "bs.bsig")
 
-    # Candidate pairs via ONE groupBy on the bucket key + inline i<j
-    # expansion (same shape as jaccard_pairs' per-gram expansion) instead of
-    # a bucket self-join + distinct: one exchange replaces join-plus-distinct
-    # exchanges. cand is NOT deduped across bands — the verify step's
-    # left_semi joins are duplicate-tolerant, so
-    # the distinct would be a pure extra exchange. The (small) collided
-    # BUCKETS table is what checkpoints: both the pair expansion and the
-    # candidate-id set derive from it with one narrow pass each.
-    buckets = (
+    # Candidate IDS via ONE groupBy on the bucket key (no bucket self-join,
+    # no pair expansion): verification restricts the gram table to docs that
+    # collided in ANY bucket and runs exact Jaccard over that sub-corpus.
+    # Every pair that emits has true df-filtered Jaccard >= threshold —
+    # shared counts and |A|/|B| are computed over the candidates' FULL gram
+    # sets — so no pair-level filter is needed afterwards: output equals
+    # exact `jaccard_pairs` whenever id-level LSH recall holds, which is
+    # implied by (and weaker than) the pair-level recall the banding is
+    # tuned for. (The earlier shape expanded per-bucket i<j pairs and
+    # left_semi-filtered the verified output against them — one more
+    # Generate chain, one more join, and strictly worse recall on pairs
+    # whose endpoints collided only with other partners.) No checkpoint:
+    # the bucket aggregate has exactly one consumer now. cand_ids is NOT
+    # deduped: it only feeds the left_semi build side, whose hash relation
+    # dedups inherently — a .distinct() would add a full exchange to save
+    # at most bands× duplicate ids from the (cheaper) join build.
+    cand_ids = (
         banded.groupBy("band", "bsig")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") > 1)
-        .select("ids")
-    ).localCheckpoint(eager=False)
-    cand = buckets.select(
-        "ids", F.posexplode("ids").alias("i", "id_a")
-    ).select(
-        "id_a",
-        F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+        .select(F.explode("ids").alias("id"))
     )
 
     # exact verification via the gram equi-join restricted to candidates;
     # the df cutoff counts over the FULL corpus (round-4 advice) with the
     # restriction applied first so join cost stays candidate-proportional.
-    # cand_ids is NOT deduped: it only feeds the left_semi build side, whose
-    # hash relation dedups inherently — a .distinct() would add a full
-    # exchange to save at most bands× duplicate ids from the (cheaper) join
-    # build. The hot-gram cutoff is a left_anti join against the small HOT
-    # set rather than a semi join against the huge KEEP set (drop_hot_grams).
-    cand_ids = buckets.select(F.explode("ids").alias("id"))
+    # The hot-gram cutoff is a left_anti join against the small HOT set
+    # rather than a semi join against the huge KEEP set (drop_hot_grams).
     gc = g0.join(cand_ids, "id", "left_semi")
     if max_gram_df is not None:
         gc = drop_hot_grams(gc, g0, max_gram_df)
-    exact = jaccard_pairs(
+    return jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
         grams=gc, max_gram_df=None,
     )
-    return exact.join(cand, ["id_a", "id_b"], "left_semi")

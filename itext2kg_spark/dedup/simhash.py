@@ -163,15 +163,19 @@ def simhash_verified_pairs(
     to sf0.1, so the pigeonhole-maximum budget of 15 holds with margin),
     which makes the exact-Jaccard SQL this operator's DuckDB oracle. Same shape as minhash_lsh_pairs' verify step:
     the gram equi-join is restricted to candidate ids (left_semi), so exact
-    verification cost tracks candidate volume, not corpus size."""
+    verification cost tracks candidate volume, not corpus size. No
+    pair-level filter afterwards: every pair the candidate-restricted
+    Jaccard emits has true df-filtered Jaccard >= threshold (shared counts
+    and |A|/|B| come from the candidates' FULL gram sets), so output equals
+    exact jaccard_pairs whenever id-level recall holds — implied by, and
+    weaker than, the pair-level Hamming recall above."""
     from itext2kg_spark.dedup.ngram import (
         jaccard_pairs,
         restricted_filtered_grams,
     )
 
-    # checkpoint the (small) candidate pair set: it feeds three consumers
-    # (two id projections + the final semi-join) and its lineage contains the
-    # multi-million-row band join
+    # checkpoint the (small) candidate pair set: it feeds two id projections
+    # and its lineage contains the multi-million-row band join
     cand = simhash_pairs(docs, max_hamming, bands, text_col, id_col).select(
         "id_a", "id_b"
     ).localCheckpoint(eager=False)
@@ -189,8 +193,7 @@ def simhash_verified_pairs(
     grams_c = restricted_filtered_grams(
         docs, cand_ids, n, text_col, id_col, max_gram_df
     )
-    exact = jaccard_pairs(
+    return jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
         grams=grams_c, max_gram_df=None,
     )
-    return exact.join(cand, ["id_a", "id_b"], "left_semi")
